@@ -1,0 +1,140 @@
+"""RoI feature extraction with exact `tf.image.crop_and_resize` semantics.
+
+Replaces the reference's TF fused kernel (`object_detection/model/
+roi_pooling.py:79` et al.) with a TPU-native separable-matmul formulation:
+bilinear resampling along y and x are linear maps, so each crop is
+`W_y @ feature @ W_x^T` — two batched matmuls that run on the MXU instead of
+a gather-heavy kernel. Gradients to the feature map fall out of autodiff
+(boxes are stop-gradient, matching roi_pooling.py:80).
+
+Two box-normalization variants exist in the reference and both are
+reproduced exactly:
+- `roi_crop_faster_rcnn`: rois/stride then normalize by (feat_h-1, feat_w-1)
+  (`RoiPoolingCropAndResize`, roi_pooling.py:45-90); optional crop at 2x then
+  2x2/stride-2 same-padding max pool.
+- `roi_crop_fpn`: normalize by the *image* (h, w) (`RoiPoolingCropAndResize2`,
+  roi_pooling.py:8-42); always crop at 2x then max pool.
+
+TF crop_and_resize sampling rule (crop size S > 1):
+  y_i = y1*(H-1) + i * (y2-y1)*(H-1)/(S-1), bilinear, whole sample = 0 when
+  y_i outside [0, H-1] (same for x).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["crop_and_resize", "roi_crop_faster_rcnn", "roi_crop_fpn", "max_pool_2x2_same"]
+
+
+def _interp_weights(lo: jnp.ndarray, hi: jnp.ndarray, size: int, crop: int) -> jnp.ndarray:
+    """Bilinear sampling weights [N, crop, size] for TF crop_and_resize.
+
+    lo/hi: [N] normalized start/end coords for each roi along this axis.
+    """
+    scale = jnp.asarray(size - 1, jnp.float32)
+    if crop > 1:
+        step = (hi - lo) * scale / (crop - 1)  # [N]
+        coords = lo[:, None] * scale + step[:, None] * jnp.arange(
+            crop, dtype=jnp.float32
+        )[None, :]  # [N, crop]
+    else:
+        coords = (0.5 * (lo + hi) * scale)[:, None]
+    in_range = (coords >= 0.0) & (coords <= scale)  # [N, crop]
+    cells = jnp.arange(size, dtype=jnp.float32)[None, None, :]  # [1, 1, size]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(coords[:, :, None] - cells))  # tent
+    return jnp.where(in_range[:, :, None], w, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size",))
+def crop_and_resize(
+    features: jnp.ndarray, boxes: jnp.ndarray, crop_size: int
+) -> jnp.ndarray:
+    """TF-semantics crop_and_resize from a single feature map.
+
+    Args:
+      features: [H, W, C].
+      boxes: [N, 4] normalized (y1, x1, y2, x2), TF box order.
+      crop_size: static output resolution S.
+
+    Returns: [N, S, S, C] float32.
+    """
+    h, w, c = features.shape
+    n = boxes.shape[0]
+    wy = _interp_weights(boxes[:, 0], boxes[:, 2], h, crop_size)  # [N, S, H]
+    wx = _interp_weights(boxes[:, 1], boxes[:, 3], w, crop_size)  # [N, S, W]
+    feat = features.reshape(h, w * c)
+    # [N*S, H] @ [H, W*C] — one large MXU matmul.
+    rows = jnp.einsum(
+        "nsh,hk->nsk", wy, feat, preferred_element_type=jnp.float32
+    ).reshape(n, crop_size, w, c)
+    out = jnp.einsum(
+        "ntw,nswc->nstc", wx, rows, preferred_element_type=jnp.float32
+    )
+    return out
+
+
+def max_pool_2x2_same(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 max pool with 'same' padding over [..., H, W, C]."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="SAME",
+    )
+
+
+def roi_crop_faster_rcnn(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    extractor_stride: int,
+    pool_size: int,
+    max_pooling: bool,
+) -> jnp.ndarray:
+    """Faster R-CNN RoI pooling (`RoiPoolingCropAndResize`, roi_pooling.py:45-90).
+
+    features: [H', W', C] (batch dim squeezed); rois: [N, 4] xyxy pixels.
+    rois are divided by stride and normalized by (H'-1, W'-1).
+    """
+    h, w = features.shape[0], features.shape[1]
+    r = jax.lax.stop_gradient(rois) / float(extractor_stride)
+    boxes = jnp.stack(
+        [
+            r[:, 1] / (h - 1.0),
+            r[:, 0] / (w - 1.0),
+            r[:, 3] / (h - 1.0),
+            r[:, 2] / (w - 1.0),
+        ],
+        axis=1,
+    )
+    if max_pooling:
+        crops = crop_and_resize(features, boxes, pool_size * 2)
+        return max_pool_2x2_same(crops)
+    return crop_and_resize(features, boxes, pool_size)
+
+
+def roi_crop_fpn(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    image_height,
+    image_width,
+    pool_size: int,
+) -> jnp.ndarray:
+    """FPN RoI pooling (`RoiPoolingCropAndResize2`, roi_pooling.py:8-42).
+
+    Normalizes rois by the *image* shape (may be traced per-image valid h/w),
+    crops at 2x pool_size, then 2x2 same max pool.
+    """
+    r = jax.lax.stop_gradient(rois)
+    ih = jnp.asarray(image_height, jnp.float32)
+    iw = jnp.asarray(image_width, jnp.float32)
+    boxes = jnp.stack(
+        [r[:, 1] / ih, r[:, 0] / iw, r[:, 3] / ih, r[:, 2] / iw], axis=1
+    )
+    crops = crop_and_resize(features, boxes, pool_size * 2)
+    return max_pool_2x2_same(crops)
