@@ -1,0 +1,110 @@
+"""End-to-end smoke tests: Faster R-CNN predict + train step on tiny images."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tf_eager_object_detection_tpu.config.config_factory import config_factory
+from tf_eager_object_detection_tpu.models.model_factory import model_factory
+from tf_eager_object_detection_tpu.training.optimizer import make_optimizer
+from tf_eager_object_detection_tpu.training.train_step import (
+    TrainState,
+    make_train_step,
+)
+
+
+def _small_config():
+    cfg = dict(config_factory("pascal", "faster_rcnn"))
+    # shrink proposal counts so CPU tests stay fast
+    cfg["rpn_proposal_train_pre_nms_sample_number"] = 600
+    cfg["rpn_proposal_train_after_nms_sample_number"] = 200
+    cfg["rpn_proposal_test_pre_nms_sample_number"] = 300
+    cfg["rpn_proposal_test_after_nms_sample_number"] = 50
+    cfg["roi_total_sample_number"] = 32
+    cfg["roi_pos_sample_max_number"] = 8
+    cfg["rpn_total_sample_number"] = 64
+    cfg["rpn_pos_sample_max_number"] = 32
+    cfg["max_objects_per_image"] = 10
+    cfg["max_objects_per_class_per_image"] = 10
+    return cfg
+
+
+def _batch(rng, b=1, h=160, w=160, g=5):
+    images = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
+    image_hw = jnp.asarray([[h - 16, w - 32]] * b, jnp.int32)
+    x1 = rng.uniform(0, 80, (b, g)).astype(np.float32)
+    y1 = rng.uniform(0, 80, (b, g)).astype(np.float32)
+    gt = np.stack(
+        [x1, y1, x1 + rng.uniform(10, 60, (b, g)), y1 + rng.uniform(10, 60, (b, g))],
+        axis=-1,
+    ).astype(np.float32)
+    gt_mask = np.zeros((b, g), bool)
+    gt_mask[:, :3] = True
+    gt_labels = rng.randint(1, 21, (b, g)).astype(np.int32)
+    return images, image_hw, jnp.asarray(gt), jnp.asarray(gt_mask), jnp.asarray(gt_labels)
+
+
+@pytest.mark.parametrize("backbone", ["vgg16", "resnet50"])
+def test_predict_shapes(backbone):
+    cfg = _small_config()
+    det = model_factory("faster_rcnn", backbone, cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.randn(160, 160, 3).astype(np.float32))
+    out = det.predict(params, image, jnp.asarray([144, 128], jnp.int32))
+    assert out.boxes.shape == (10, 4)
+    assert out.labels.shape == (10,)
+    assert out.scores.shape == (10,)
+    v = np.asarray(out.valid)
+    b = np.asarray(out.boxes)
+    assert np.isfinite(b).all()
+    # valid detections stay inside the valid image region
+    if v.any():
+        assert b[v, 2].max() <= 127.0 + 1e-3
+        assert b[v, 3].max() <= 143.0 + 1e-3
+
+
+def test_train_step_decreases_loss_and_freezes():
+    cfg = _small_config()
+    det = model_factory("faster_rcnn", "vgg16", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg, params, "vgg16")
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(det, opt)
+    rng = np.random.RandomState(1)
+    batch = _batch(rng)
+    frozen_before = np.asarray(
+        state.params["extractor"]["block1_conv1"]["kernel"]
+    ).copy()
+    trainable_before = np.asarray(
+        state.params["extractor"]["block3_conv1"]["kernel"]
+    ).copy()
+
+    metrics = None
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    for k in ("rpn_cls_loss", "rpn_reg_loss", "roi_cls_loss", "roi_reg_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(state.step) == 3
+
+    frozen_after = np.asarray(state.params["extractor"]["block1_conv1"]["kernel"])
+    trainable_after = np.asarray(state.params["extractor"]["block3_conv1"]["kernel"])
+    np.testing.assert_array_equal(frozen_before, frozen_after)
+    assert np.abs(trainable_after - trainable_before).max() > 0
+
+
+def test_im_detect_api():
+    cfg = _small_config()
+    det = model_factory("faster_rcnn", "vgg16", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.randn(160, 160, 3).astype(np.float32))
+    sm, deltas, rois, valid = det.im_detect(
+        params, image, jnp.asarray([160, 160], jnp.int32), 2.0
+    )
+    assert sm.shape == (50, 21)
+    assert deltas.shape == (50, 21, 4)
+    assert rois.shape == (50, 4)
+    # rois are divided by scale
+    assert float(np.asarray(rois).max()) <= 160.0 / 2.0 + 1.0

@@ -1,0 +1,50 @@
+"""Trainable/frozen parameter masks.
+
+The reference freezes layers with keras `trainable=False`: VGG blocks 1-2
+(vgg16_faster_rcnn.py:268-288), ResNet conv1 + conv2 stack
+(resnet_faster_rcnn.py:111,140-156), and every BatchNorm (:53-74). Here the
+same policy is a pytree mask consumed by the optimizer (zero updates) and by
+the weight-decay mask (L2 only on trainable kernels, matching keras
+regularizers having no effect on non-trainable layers).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+
+__all__ = ["trainable_mask", "weight_decay_mask"]
+
+_BN_PARAMS = {"gamma", "beta", "moving_mean", "moving_variance"}
+
+
+def _frozen_path(backbone: str, path) -> bool:
+    names = [getattr(k, "key", str(k)) for k in path]
+    if any(n in _BN_PARAMS for n in names) or any("_bn" in n for n in names):
+        return True
+    top = names[0] if names else ""
+    layer = names[1] if len(names) > 1 else ""
+    if top != "extractor":
+        return False
+    if backbone == "vgg16":
+        return layer.startswith("block1_") or layer.startswith("block2_")
+    # resnet: conv1 + whole conv2 stack
+    return layer.startswith("conv1_") or layer.startswith("conv2_")
+
+
+def trainable_mask(params: Dict[str, Any], backbone: str):
+    """Pytree of bools: True where the param receives gradient updates."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not _frozen_path(backbone, path), params
+    )
+
+
+def weight_decay_mask(params: Dict[str, Any], backbone: str):
+    """True for trainable kernels (L2 applies to conv/dense kernels only)."""
+
+    def f(path, _):
+        names = [getattr(k, "key", str(k)) for k in path]
+        return names[-1] == "kernel" and not _frozen_path(backbone, path)
+
+    return jax.tree_util.tree_map_with_path(f, params)

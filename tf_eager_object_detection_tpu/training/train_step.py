@@ -1,0 +1,44 @@
+"""Jitted train step (the reference's `train_step`, scripts/train.py:22-40).
+
+One fused program: loss + grads + optimizer update. Batch tensors are
+padded/static; randomness comes in via the PRNG key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import optax
+
+__all__ = ["make_train_step", "TrainState"]
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_train_step(detector, optimizer):
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    batch = (images, image_hw, gt_boxes, gt_mask, gt_labels).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng):
+        images, image_hw, gt_boxes, gt_mask, gt_labels = batch
+
+        def loss(params):
+            return detector.loss_fn(
+                params, images, image_hw, gt_boxes, gt_mask, gt_labels, rng
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
