@@ -1,0 +1,92 @@
+"""End-to-end train-step benchmark on the real TPU chip.
+
+Measures steady-state Faster R-CNN (resnet50) train-step throughput in
+images/sec/chip at the reference's working resolution (600x1000-class images
+padded to the static 608x1008 bucket, batch 1 per reference semantics,
+scripts/train.py batch_size=1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`vs_baseline`: the reference publishes no throughput numbers (SURVEY.md §6).
+The commonly-reported tf-faster-rcnn-era single-GPU training speed for this
+model family is ~5 images/sec; vs_baseline is value / 5.0 against that
+stand-in until a measured CUDA-TF baseline exists.
+"""
+
+import json
+import sys
+import time
+
+ASSUMED_BASELINE_IMG_PER_SEC = 5.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+    from tf_eager_object_detection_tpu.training.optimizer import make_optimizer
+    from tf_eager_object_detection_tpu.training.train_step import (
+        TrainState,
+        make_train_step,
+    )
+
+    cfg = dict(config_factory("pascal", "faster_rcnn"))
+    backbone = "resnet50"
+    det = model_factory("faster_rcnn", backbone, cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg, params, backbone)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(det, opt)
+
+    b = cfg["tpu_train_batch_size_per_device"]
+    h, w = cfg["tpu_image_buckets"][0]
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
+    image_hw = jnp.asarray([[600, 1000]] * b, jnp.int32)
+    g = cfg["tpu_max_gt_boxes"]
+    gt = np.zeros((b, g, 4), np.float32)
+    gt_mask = np.zeros((b, g), bool)
+    gt_labels = np.zeros((b, g), np.int32)
+    for i in range(b):
+        n = 4
+        x1 = rng.uniform(0, 800, n)
+        y1 = rng.uniform(0, 400, n)
+        gt[i, :n] = np.stack(
+            [x1, y1, x1 + rng.uniform(30, 180, n), y1 + rng.uniform(30, 180, n)], 1
+        )
+        gt_mask[i, :n] = True
+        gt_labels[i, :n] = rng.randint(1, 21, n)
+    batch = (images, image_hw, jnp.asarray(gt), jnp.asarray(gt_mask), jnp.asarray(gt_labels))
+
+    # compile + warmup
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(metrics["total_loss"])
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(metrics["total_loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i + 10))
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    img_per_sec = n_steps * b / dt
+    print(
+        json.dumps(
+            {
+                "metric": "faster_rcnn_resnet50_train_step_throughput",
+                "value": round(img_per_sec, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / ASSUMED_BASELINE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

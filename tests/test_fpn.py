@@ -1,0 +1,84 @@
+"""FPN smoke tests + TF1-bilinear-upsample golden check."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tf_eager_object_detection_tpu.config.config_factory import config_factory
+from tf_eager_object_detection_tpu.models.model_factory import model_factory
+
+
+def _small_cfg():
+    cfg = dict(config_factory("pascal", "fpn"))
+    cfg.update(
+        {
+            "rpn_proposal_train_pre_nms_sample_number": 512,
+            "rpn_proposal_train_after_nms_sample_number": 128,
+            "rpn_proposal_test_pre_nms_sample_number": 512,
+            "rpn_proposal_test_after_nms_sample_number": 64,
+            "roi_total_sample_number": 32,
+            "roi_pos_sample_max_number": 8,
+            "rpn_total_sample_number": 64,
+            "rpn_pos_sample_max_number": 32,
+            "max_objects_per_image": 10,
+            "max_objects_per_class_per_image": 10,
+            "tpu_image_buckets": [[128, 128]],
+        }
+    )
+    return cfg
+
+
+def test_resize_bilinear_tf1_matches_tf():
+    tf = pytest.importorskip("tensorflow")
+    from tf_eager_object_detection_tpu.models.fpn import resize_bilinear_tf1
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 5, 7, 3).astype(np.float32)
+    for oh, ow in [(10, 14), (9, 13), (5, 7)]:
+        # TF2 equivalent of tf.image.resize_bilinear(align_corners=False):
+        want = tf.compat.v1.image.resize_bilinear(tf.constant(x), (oh, ow)).numpy()
+        got = np.asarray(resize_bilinear_tf1(jnp.asarray(x), oh, ow))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fpn_predict_and_train():
+    cfg = _small_cfg()
+    det = model_factory("fpn", "resnet50", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.randn(128, 128, 3).astype(np.float32))
+    out = det.predict(params, image, jnp.asarray([128, 128], jnp.int32))
+    assert out.boxes.shape == (10, 4)
+    assert np.isfinite(np.asarray(out.boxes)).all()
+
+    images = image[None]
+    hw = jnp.asarray([[128, 128]], jnp.int32)
+    gt = jnp.asarray([[[10.0, 10.0, 60.0, 70.0], [30.0, 20.0, 110.0, 100.0]]])
+    total, metrics = jax.jit(det.loss_fn)(
+        params, images, hw, gt, jnp.asarray([[True, True]]),
+        jnp.asarray([[4, 9]], jnp.int32), jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(float(total))
+    for k in ("rpn_cls_loss", "rpn_reg_loss", "roi_cls_loss", "roi_reg_loss"):
+        assert np.isfinite(float(metrics[k]))
+
+    # gradients flow to neck + conv1 (trainable in FPN) but not to BN
+    grads = jax.grad(lambda p: det.loss_fn(p, images, hw, gt,
+        jnp.asarray([[True, True]]), jnp.asarray([[4, 9]], jnp.int32),
+        jax.random.PRNGKey(1))[0])(params)
+    assert np.abs(np.asarray(grads["neck"]["build_p5"]["kernel"])).sum() > 0
+    assert np.abs(np.asarray(grads["extractor"]["conv1_conv"]["kernel"])).sum() > 0
+
+
+def test_fpn_im_detect():
+    cfg = _small_cfg()
+    det = model_factory("fpn", "resnet50", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    image = jnp.asarray(rng.randn(128, 128, 3).astype(np.float32))
+    sm, deltas, rois, valid = det.im_detect(
+        params, image, jnp.asarray([128, 128], jnp.int32), 1.5
+    )
+    assert sm.shape == (64, 21) and deltas.shape == (64, 21, 4)
+    assert rois.shape == (64, 4)

@@ -60,7 +60,8 @@ def get_default_pascal_fpn_config():
         "roi_total_sample_number": 256,
         "roi_pos_sample_max_number": 64,
         # --- TPU-native additions ---
-        "tpu_image_buckets": [[608, 1008], [1008, 608]],
+        # multiples of 64 so every pyramid level (stride 4..64) tiles evenly
+        "tpu_image_buckets": [[640, 1024], [1024, 640]],
         "tpu_max_gt_boxes": 100,
         "tpu_train_batch_size_per_device": 1,
     }

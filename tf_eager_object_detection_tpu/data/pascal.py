@@ -1,0 +1,163 @@
+"""Pascal VOC dataset iterators (train from tfrecords, eval from VOC tree).
+
+TF-free replacements for the reference datasets:
+- `pascal_train_batches` ~ `pascal_tf_dataset_generator.get_dataset` (D1):
+  parse tfrecords -> hflip augment -> caffe/tf normalize -> resize -> pad to
+  static bucket -> yield padded batch dicts (contract documented in the
+  reference's dataset README: image float32 BGR, boxes pixel xyxy on the
+  resized image, labels int).
+- `pascal_eval_iterator` ~ `eval_pascal_tf_dataset.get_dataset_by_local_file`
+  (D4): cv2 BGR reads, returns (image, image_hw, scale, raw_h, raw_w) plus
+  the image-id list.
+
+Decoding/augmentation runs in a small thread pool (the tf.data analogue of
+num_parallel_calls) with deterministic per-image RNG derived from the seed.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import random
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Sequence
+
+import numpy as np
+
+from tf_eager_object_detection_tpu.data.preprocessing import (
+    preprocess_eval_image,
+    preprocess_train_image,
+)
+from tf_eager_object_detection_tpu.data.tfrecord import decode_example, read_tfrecords
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+__all__ = ["parse_pascal_example", "pascal_train_batches", "pascal_eval_iterator"]
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes -> RGB uint8 array."""
+    if cv2 is not None:
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        return img[..., ::-1]  # BGR -> RGB
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def parse_pascal_example(record: bytes):
+    """Serialized Example -> (rgb image, boxes01 yxyx [N,4], labels [N])."""
+    feats = decode_example(record)
+    image = _decode_jpeg(feats["image/encoded"][1][0])
+    ymin = np.asarray(feats.get("image/object/bbox/ymin", ("float", []))[1])
+    xmin = np.asarray(feats.get("image/object/bbox/xmin", ("float", []))[1])
+    ymax = np.asarray(feats.get("image/object/bbox/ymax", ("float", []))[1])
+    xmax = np.asarray(feats.get("image/object/bbox/xmax", ("float", []))[1])
+    boxes = np.stack([ymin, xmin, ymax, xmax], axis=1).astype(np.float32) if len(ymin) else np.zeros((0, 4), np.float32)
+    labels = np.asarray(
+        feats.get("image/object/class/label", ("int64", []))[1], np.int32
+    )
+    return image, boxes, labels
+
+
+def pascal_train_batches(
+    tfrecord_paths: Sequence[str],
+    cfg: dict,
+    batch_size: int = 1,
+    shuffle: bool = True,
+    repeat: bool = True,
+    seed: int = 0,
+    augment: bool = True,
+    preprocessing_type: str = "caffe",
+    num_workers: int = 4,
+) -> Iterator[dict]:
+    """Yields dict batches grouped by bucket shape.
+
+    Batch keys: images [B,Hb,Wb,3], image_hw [B,2], gt_boxes [B,G,4] xyxy,
+    gt_mask [B,G], gt_labels [B,G]. All images in a batch share one bucket
+    (so the jitted step compiles once per bucket).
+    """
+    paths = list(tfrecord_paths)
+    py_rng = random.Random(seed)
+    epoch = 0
+
+    def load_one(args):
+        record, img_seed = args
+        image, boxes, labels = parse_pascal_example(record)
+        rng = np.random.RandomState(img_seed)
+        return preprocess_train_image(
+            image, boxes, labels, cfg, rng, augment=augment,
+            preprocessing_type=preprocessing_type,
+        )
+
+    with ThreadPoolExecutor(num_workers) as pool:
+        while True:
+            records = []
+            for p in paths:
+                records.extend(read_tfrecords(p))
+            if shuffle:
+                py_rng.shuffle(records)
+            seeds = [py_rng.randrange(2**31) for _ in records]
+            buckets: dict = {}
+            for item in pool.map(load_one, zip(records, seeds)):
+                img, hw, boxes, mask, labels = item
+                key = img.shape[:2]
+                buckets.setdefault(key, []).append(item)
+                if len(buckets[key]) == batch_size:
+                    group = buckets.pop(key)
+                    yield _stack_batch(group)
+            # flush incomplete groups by repeating their last element
+            for group in buckets.values():
+                while len(group) < batch_size:
+                    group.append(group[-1])
+                yield _stack_batch(group)
+            epoch += 1
+            if not repeat:
+                return
+
+
+def _stack_batch(group):
+    imgs, hws, boxes, masks, labels = zip(*group)
+    return {
+        "images": np.stack(imgs),
+        "image_hw": np.stack(hws),
+        "gt_boxes": np.stack(boxes),
+        "gt_mask": np.stack(masks),
+        "gt_labels": np.stack(labels),
+    }
+
+
+def pascal_eval_iterator(
+    root_path: str,
+    mode: str,
+    cfg: dict,
+    preprocessing_type: str = "caffe",
+    num_workers: int = 4,
+):
+    """Returns (iterator of (image, image_hw, scale, raw_h, raw_w), image_ids).
+
+    root_path points at .../VOC2007 (like the reference's `root_path`,
+    eval_pascal_tf_dataset.py:11).
+    """
+    with open(os.path.join(root_path, "ImageSets", "Main", f"{mode}.txt")) as f:
+        image_ids = [line.strip().split()[0] for line in f if line.strip()]
+    img_dir = os.path.join(root_path, "JPEGImages")
+
+    def load(image_id):
+        path = os.path.join(img_dir, image_id + ".jpg")
+        if cv2 is not None:
+            img = cv2.imread(path)[..., ::-1]  # BGR file -> RGB
+        else:
+            from PIL import Image
+
+            img = np.asarray(Image.open(path).convert("RGB"))
+        return preprocess_eval_image(img, cfg, preprocessing_type)
+
+    def iterator():
+        with ThreadPoolExecutor(num_workers) as pool:
+            yield from pool.map(load, image_ids)
+
+    return iterator(), image_ids

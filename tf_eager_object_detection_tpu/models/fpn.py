@@ -1,0 +1,422 @@
+"""FPN detector (ResNet-50/101/152): multi-level TPU-native re-design.
+
+Re-implements the reference's `BaseFPN` + `ResnetV1Fpn`
+(`object_detection/model/fpn/base_fpn_model.py:202-276`,
+`model/fpn/resnet_fpn.py`) with padded fixed shapes:
+
+- extractor: multi-output ResNet (c2..c5) — `get_resnet_v1_extractor`
+  (resnet_fpn.py:262-289),
+- neck: 1x1 laterals, TF1-semantics bilinear upsample, **0.5/0.5 weighted
+  fusion** (resnet_fpn.py:389,395,401), post-fusion 3x3 convs on p2..p4,
+  p6 = stride-2 max pool of p5 (:346,383),
+- shared RPN head over p2..p6 with the FPN score layout ([A, 2] per cell,
+  base_fpn_model.py:429), one NMS over the concatenation of all levels,
+- level assignment floor(4 + log2(sqrt(wh)/224)) clamped to [2, 5]
+  (base_fpn_model.py:309-313). Instead of the reference's dynamic per-level
+  gather + re-sort (:249-252), each roi is cropped from every level and the
+  right one is selected by a one-hot over levels — static shapes, no
+  reordering, identical numerics,
+- RoI head: flatten -> fc1024 -> fc1024 -> heads (`ResnetRoiHead`,
+  resnet_fpn.py:292-336; dropout disabled as in the reference :330-332).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_eager_object_detection_tpu.core.anchors import (
+    make_level_anchors,
+    valid_anchor_mask,
+)
+from tf_eager_object_detection_tpu.models.backbones.resnet import ResNetBackbone
+from tf_eager_object_detection_tpu.models.heads import RpnHead
+from tf_eager_object_detection_tpu.ops.losses import cls_loss, smooth_l1_loss
+from tf_eager_object_detection_tpu.ops.prediction import Detections, post_ops_prediction
+from tf_eager_object_detection_tpu.ops.region_proposal import region_proposal
+from tf_eager_object_detection_tpu.ops.roi_align import roi_crop_fpn
+from tf_eager_object_detection_tpu.ops.sampling import anchor_target, proposal_target
+
+__all__ = ["FPNDetector", "ResnetFpnNeck", "FpnRoiHead", "resize_bilinear_tf1"]
+
+_RESNET_DEPTHS = {"resnet50": 50, "resnet101": 101, "resnet152": 152}
+
+
+def _tf1_interp_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """TF1 resize_bilinear (align_corners=False) weights [out, in].
+
+    Legacy semantics: sample at i * in/out (no half-pixel offset), clamped.
+    """
+    scale = in_size / out_size
+    coords = np.arange(out_size, dtype=np.float64) * scale
+    cells = np.arange(in_size, dtype=np.float64)
+    w = np.maximum(0.0, 1.0 - np.abs(coords[:, None] - cells[None, :]))
+    # clamp: coords beyond in_size-1 keep full weight on the last cell
+    w[coords >= in_size - 1, :] = 0.0
+    w[coords >= in_size - 1, in_size - 1] = 1.0
+    return w.astype(np.float32)
+
+
+def resize_bilinear_tf1(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """[..., H, W, C] -> [..., out_h, out_w, C] with TF1 legacy semantics."""
+    h, w = x.shape[-3], x.shape[-2]
+    wy = jnp.asarray(_tf1_interp_matrix(out_h, h))
+    wx = jnp.asarray(_tf1_interp_matrix(out_w, w))
+    x = jnp.einsum("oh,...hwc->...owc", wy, x)
+    return jnp.einsum("pw,...owc->...opc", wx, x)
+
+
+class ResnetFpnNeck(nn.Module):
+    """(c2, c3, c4, c5) -> (p2, p3, p4, p5, p6). resnet_fpn.py:339-407."""
+
+    top_down_dims: int = 256
+
+    @nn.compact
+    def __call__(self, inputs):
+        c2, c3, c4, c5 = inputs
+        conv = functools.partial(
+            nn.Conv, self.top_down_dims, kernel_init=nn.initializers.he_normal()
+        )
+        p5 = conv((1, 1), name="build_p5")(c5)
+        # p6: stride-2 max pool with pool_size 1 == subsample every other px
+        p6 = p5[:, ::2, ::2, :]
+
+        def fuse(p_up, c, name):
+            up = resize_bilinear_tf1(p_up, c.shape[-3], c.shape[-2])
+            lat = conv((1, 1), name=f"build_{name}_reduce_dims")(c)
+            return up * 0.5 + lat * 0.5
+
+        p4 = fuse(p5, c4, "p4")
+        p3 = fuse(p4, c3, "p3")
+        p2 = fuse(p3, c2, "p2")
+        p4 = conv((3, 3), padding="SAME", name="build_p4")(p4)
+        p3 = conv((3, 3), padding="SAME", name="build_p3")(p3)
+        p2 = conv((3, 3), padding="SAME", name="build_p2")(p2)
+        return p2, p3, p4, p5, p6
+
+
+class FpnRoiHead(nn.Module):
+    """[N, 7, 7, 256] -> (scores [N, C], deltas [N, 4C]). resnet_fpn.py:292-336."""
+
+    num_classes: int = 21
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+        n = x.shape[0]
+        x = x.reshape(n, -1)
+        x = nn.relu(nn.Dense(1024, name="fc1")(x))
+        x = nn.relu(nn.Dense(1024, name="fc2")(x))
+        score = nn.Dense(
+            self.num_classes,
+            name="roi_head_score",
+            kernel_init=nn.initializers.normal(0.01),
+        )(x)
+        boxes = nn.Dense(
+            4 * self.num_classes,
+            name="roi_head_bboxes",
+            kernel_init=nn.initializers.normal(0.001),
+        )(x)
+        return score, boxes
+
+
+class FPNDetector:
+    """Multi-level two-stage detector with the reference FPN semantics."""
+
+    model_type = "fpn"
+
+    def __init__(self, backbone: str, config: Dict[str, Any]):
+        self.cfg = dict(config)
+        self.backbone = backbone
+        cfg = self.cfg
+        self.num_classes = cfg["num_classes"]
+        self.strides = list(cfg["anchor_stride_list"])
+        self.base_sizes = list(cfg["base_anchor_size_list"])
+        self.min_level = cfg["min_level"]
+        self.max_level = cfg["max_level"]
+        self.num_anchors = len(cfg["ratios"]) * len(cfg["scales"])
+        self.extractor = ResNetBackbone(
+            depth=_RESNET_DEPTHS[backbone],
+            return_stages=("c2", "c3", "c4", "c5"),
+            include_c5=True,
+        )
+        self.neck = ResnetFpnNeck(top_down_dims=cfg["top_down_dims"])
+        self.rpn_head = RpnHead(num_anchors=self.num_anchors, box_init_std=0.001)
+        self.roi_head = FpnRoiHead(num_classes=self.num_classes)
+        self._anchor_cache: dict = {}
+
+    def init_params(self, rng, image_size=(64, 64)):
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        dummy = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
+        variables = self.extractor.init(r1, dummy)
+        p_ext = variables["params"]
+        c_shapes = jax.eval_shape(
+            lambda p, x: self.extractor.apply({"params": p}, x), p_ext, dummy
+        )
+        p_neck = self.neck.init(
+            r2, tuple(jnp.zeros(s.shape, s.dtype) for s in c_shapes)
+        )["params"]
+        td = self.cfg["top_down_dims"]
+        p_rpn = self.rpn_head.init(r3, jnp.zeros((1, 4, 4, td)))["params"]
+        p_roi = self.roi_head.init(r4, jnp.zeros((1, 7, 7, td)))["params"]
+        return {
+            "extractor": p_ext,
+            "neck": p_neck,
+            "rpn_head": p_rpn,
+            "roi_head": p_roi,
+        }
+
+    # --------------------------------------------------------------- anchors
+    def anchors_for_grids(self, grids) -> np.ndarray:
+        """grids: tuple of (gh, gw) per level -> concat [A_total, 4]."""
+        key = tuple(grids)
+        if key not in self._anchor_cache:
+            per_level = [
+                make_level_anchors(
+                    self.base_sizes[i],
+                    self.cfg["scales"],
+                    self.cfg["ratios"],
+                    gh,
+                    gw,
+                    self.strides[i],
+                )
+                for i, (gh, gw) in enumerate(grids)
+            ]
+            self._anchor_cache[key] = np.concatenate(per_level, axis=0)
+        return self._anchor_cache[key]
+
+    def _level_valid_mask(self, grids, image_hw):
+        """Concatenated anchor-validity over all level grids (traced hw)."""
+        h, w = image_hw[0], image_hw[1]
+        masks = []
+        for i, (gh, gw) in enumerate(grids):
+            s = self.strides[i]
+            masks.append(
+                valid_anchor_mask(
+                    gh, gw, self.num_anchors, (h + s - 1) // s, (w + s - 1) // s
+                )
+            )
+        return jnp.concatenate(masks, axis=0)
+
+    # ----------------------------------------------------------- shared path
+    def _backbone_neck_rpn(self, params, images):
+        c_list = self.extractor.apply({"params": params["extractor"]}, images)
+        p_list = self.neck.apply({"params": params["neck"]}, c_list)
+        score_list, bbox_list = [], []
+        for p in p_list:
+            s, b = self.rpn_head.apply({"params": params["rpn_head"]}, p)
+            score_list.append(s)
+            bbox_list.append(b)
+        return p_list, score_list, bbox_list
+
+    @staticmethod
+    def _flatten_levels(score_list, bbox_list):
+        """Per-image flatten+concat: scores [A_total, 2], deltas [A_total, 4]."""
+        scores = jnp.concatenate(
+            [s.reshape(-1, 2) for s in score_list], axis=0
+        )
+        deltas = jnp.concatenate(
+            [b.reshape(-1, 4) for b in bbox_list], axis=0
+        )
+        return scores, deltas
+
+    def _proposals(self, scores2, deltas, anchors, avalid, image_hw, training):
+        cfg = self.cfg
+        probs = jax.nn.softmax(scores2, axis=-1)[:, 1]
+        if training:
+            pre, post = (
+                cfg["rpn_proposal_train_pre_nms_sample_number"],
+                cfg["rpn_proposal_train_after_nms_sample_number"],
+            )
+        else:
+            pre, post = (
+                cfg["rpn_proposal_test_pre_nms_sample_number"],
+                cfg["rpn_proposal_test_after_nms_sample_number"],
+            )
+        return region_proposal(
+            deltas,
+            anchors,
+            probs,
+            avalid,
+            image_hw[0],
+            image_hw[1],
+            num_post_nms=post,
+            nms_iou_threshold=cfg["rpn_proposal_nms_iou_threshold"],
+            num_pre_nms=min(pre, deltas.shape[0]),
+            target_means=cfg["rpn_proposal_means"],
+            target_stds=cfg["rpn_proposal_stds"],
+        )
+
+    def _roi_features(self, p_list_i, rois, image_hw):
+        """Level-assigned RoIAlign via one-hot select over levels.
+
+        p_list_i: per-level [h, w, c] maps for ONE image (p2..p5 used).
+        """
+        x1, y1, x2, y2 = rois[:, 0], rois[:, 1], rois[:, 2], rois[:, 3]
+        wq = jnp.maximum(0.0, x2 - x1)
+        hq = jnp.maximum(0.0, y2 - y1)
+        levels = jnp.floor(4.0 + jnp.log2(jnp.sqrt(wq * hq + 1e-8) / 224.0))
+        levels = jnp.clip(levels, self.min_level, self.max_level).astype(jnp.int32)
+        feats = 0.0
+        for i, lvl in enumerate(range(self.min_level, self.max_level + 1)):
+            crop = roi_crop_fpn(
+                p_list_i[i], rois, image_hw[0], image_hw[1],
+                self.cfg["roi_pooling_size"],
+            )
+            feats = feats + jnp.where(
+                (levels == lvl)[:, None, None, None], crop, 0.0
+            )
+        return feats
+
+    # ------------------------------------------------------------------ loss
+    def loss_fn(self, params, images, image_hw, gt_boxes, gt_mask, gt_labels, rng):
+        cfg = self.cfg
+        b = images.shape[0]
+        p_list, score_list, bbox_list = self._backbone_neck_rpn(params, images)
+        grids = tuple((p.shape[1], p.shape[2]) for p in p_list)
+        anchors = self.anchors_for_grids(grids)
+        rngs = jax.random.split(rng, b)
+
+        def per_image(p_i, score_i, bbox_i, hw_i, gt_i, gtm_i, gtl_i, rng_i):
+            r_at, r_pt = jax.random.split(rng_i)
+            scores2, deltas = self._flatten_levels(score_i, bbox_i)
+            avalid = self._level_valid_mask(grids, hw_i)
+            rois, roi_valid = self._proposals(
+                scores2, deltas, anchors, avalid, hw_i, training=True
+            )
+            at = anchor_target(
+                anchors,
+                gt_i,
+                gtm_i,
+                hw_i[0],
+                hw_i[1],
+                r_at,
+                pos_iou_threshold=cfg["rpn_pos_iou_threshold"],
+                neg_iou_threshold=cfg["rpn_neg_iou_threshold"],
+                total_num_samples=cfg["rpn_total_sample_number"],
+                max_pos_samples=cfg["rpn_pos_sample_max_number"],
+                target_means=tuple(cfg["rpn_proposal_means"]),
+                target_stds=tuple(cfg["rpn_proposal_stds"]),
+            )
+            rpn_cls = cls_loss(scores2, at.labels, at.labels >= 0)
+            rpn_reg = smooth_l1_loss(
+                deltas, at.bbox_targets, at.in_weights, at.out_weights,
+                sigma=cfg["rpn_sigma"], dim=(0, 1),
+            )
+            pt = proposal_target(
+                rois,
+                roi_valid,
+                gt_i,
+                gtm_i,
+                gtl_i,
+                r_pt,
+                num_classes=self.num_classes,
+                pos_iou_threshold=cfg["roi_pos_iou_threshold"],
+                neg_iou_threshold=cfg["roi_neg_iou_threshold"],
+                total_num_samples=cfg["roi_total_sample_number"],
+                max_pos_samples=cfg["roi_pos_sample_max_number"],
+                target_means=tuple(cfg["roi_proposal_means"]),
+                target_stds=tuple(cfg["roi_proposal_stds"]),
+            )
+            roi_feats = self._roi_features(p_i, pt.rois, hw_i)
+            return rpn_cls, rpn_reg, roi_feats, pt
+
+        rpn_cls, rpn_reg, roi_feats, pt = jax.vmap(per_image)(
+            tuple(p_list[: self.max_level - self.min_level + 1]),
+            tuple(score_list),
+            tuple(bbox_list),
+            image_hw,
+            gt_boxes,
+            gt_mask,
+            gt_labels,
+            rngs,
+        )
+        s = cfg["roi_total_sample_number"]
+        roi_feats = roi_feats.reshape((b * s,) + roi_feats.shape[2:])
+        roi_scores, roi_deltas = self.roi_head.apply(
+            {"params": params["roi_head"]}, roi_feats, train=True
+        )
+        roi_cls = cls_loss(roi_scores, pt.labels.reshape(-1))
+        roi_reg = smooth_l1_loss(
+            roi_deltas,
+            pt.bbox_targets.reshape(b * s, -1),
+            pt.in_weights.reshape(b * s, -1),
+            pt.out_weights.reshape(b * s, -1),
+            sigma=cfg["roi_sigma"],
+            dim=(1,),
+        )
+        metrics = {
+            "rpn_cls_loss": jnp.mean(rpn_cls),
+            "rpn_reg_loss": jnp.mean(rpn_reg),
+            "roi_cls_loss": roi_cls,
+            "roi_reg_loss": roi_reg,
+        }
+        total = sum(metrics.values())
+        metrics["total_loss"] = total
+        return total, metrics
+
+    # --------------------------------------------------------------- predict
+    def _roi_forward(self, params, p_list_i, score_list_i, bbox_list_i, image_hw):
+        grids = tuple((p.shape[0], p.shape[1]) for p in p_list_i)
+        anchors = self.anchors_for_grids(grids)
+        scores2, deltas = self._flatten_levels(score_list_i, bbox_list_i)
+        avalid = self._level_valid_mask(grids, image_hw)
+        rois, roi_valid = self._proposals(
+            scores2, deltas, anchors, avalid, image_hw, training=False
+        )
+        roi_feats = self._roi_features(
+            p_list_i[: self.max_level - self.min_level + 1], rois, image_hw
+        )
+        roi_scores, roi_deltas = self.roi_head.apply(
+            {"params": params["roi_head"]}, roi_feats, train=False
+        )
+        return rois, roi_valid, jax.nn.softmax(roi_scores, -1), roi_deltas
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def predict(self, params, image, image_hw) -> Detections:
+        cfg = self.cfg
+        p_list, score_list, bbox_list = self._backbone_neck_rpn(params, image[None])
+        rois, roi_valid, roi_softmax, roi_deltas = self._roi_forward(
+            params,
+            [p[0] for p in p_list],
+            [s[0] for s in score_list],
+            [b_[0] for b_ in bbox_list],
+            image_hw,
+        )
+        return post_ops_prediction(
+            roi_softmax,
+            roi_deltas.reshape(-1, self.num_classes, 4),
+            rois,
+            roi_valid,
+            image_hw[0],
+            image_hw[1],
+            target_means=tuple(cfg["roi_proposal_means"]),
+            target_stds=tuple(cfg["roi_proposal_stds"]),
+            max_num_per_class=cfg["max_objects_per_class_per_image"],
+            max_num_per_image=cfg["max_objects_per_image"],
+            nms_iou_threshold=cfg["prediction_nms_iou_threshold"],
+            score_threshold=cfg["prediction_score_threshold"],
+            min_edge=16.0,  # base_fpn_model.py:275 hardcodes stride 16
+            num_classes=self.num_classes,
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def im_detect(self, params, image, image_hw, scale):
+        p_list, score_list, bbox_list = self._backbone_neck_rpn(params, image[None])
+        rois, roi_valid, roi_softmax, roi_deltas = self._roi_forward(
+            params,
+            [p[0] for p in p_list],
+            [s[0] for s in score_list],
+            [b_[0] for b_ in bbox_list],
+            image_hw,
+        )
+        return (
+            roi_softmax,
+            roi_deltas.reshape(-1, self.num_classes, 4),
+            rois / scale,
+            roi_valid,
+        )

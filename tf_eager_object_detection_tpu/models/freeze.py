@@ -19,7 +19,7 @@ __all__ = ["trainable_mask", "weight_decay_mask"]
 _BN_PARAMS = {"gamma", "beta", "moving_mean", "moving_variance"}
 
 
-def _frozen_path(backbone: str, path) -> bool:
+def _frozen_path(backbone: str, path, model_type: str = "faster_rcnn") -> bool:
     names = [getattr(k, "key", str(k)) for k in path]
     if any(n in _BN_PARAMS for n in names) or any("_bn" in n for n in names):
         return True
@@ -27,24 +27,28 @@ def _frozen_path(backbone: str, path) -> bool:
     layer = names[1] if len(names) > 1 else ""
     if top != "extractor":
         return False
+    if model_type == "fpn":
+        # FPN keeps conv1/conv2 trainable (resnet_fpn.py:233,135-141);
+        # only the BNs (handled above) are frozen.
+        return False
     if backbone == "vgg16":
         return layer.startswith("block1_") or layer.startswith("block2_")
-    # resnet: conv1 + whole conv2 stack
+    # resnet faster r-cnn: conv1 + whole conv2 stack
     return layer.startswith("conv1_") or layer.startswith("conv2_")
 
 
-def trainable_mask(params: Dict[str, Any], backbone: str):
+def trainable_mask(params: Dict[str, Any], backbone: str, model_type: str = "faster_rcnn"):
     """Pytree of bools: True where the param receives gradient updates."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, _: not _frozen_path(backbone, path), params
+        lambda path, _: not _frozen_path(backbone, path, model_type), params
     )
 
 
-def weight_decay_mask(params: Dict[str, Any], backbone: str):
+def weight_decay_mask(params: Dict[str, Any], backbone: str, model_type: str = "faster_rcnn"):
     """True for trainable kernels (L2 applies to conv/dense kernels only)."""
 
     def f(path, _):
         names = [getattr(k, "key", str(k)) for k in path]
-        return names[-1] == "kernel" and not _frozen_path(backbone, path)
+        return names[-1] == "kernel" and not _frozen_path(backbone, path, model_type)
 
     return jax.tree_util.tree_map_with_path(f, params)

@@ -1,0 +1,71 @@
+"""Data-parallel scale-out over a device mesh (jax.sharding + jit).
+
+The reference is strictly single-GPU batch-1 (SURVEY.md §2.7); the TPU-native
+equivalent (SURVEY.md §5.8) is SPMD data parallelism over the batch axis:
+params replicated across the mesh, the padded batch sharded on axis 0, and
+XLA inserting the gradient all-reduce over ICI. Detection numerics are
+per-image, so DP changes nothing (all BNs are frozen).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tf_eager_object_detection_tpu.training.train_step import TrainState
+
+__all__ = ["make_mesh", "make_parallel_train_step", "replicate", "shard_batch"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "batch") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "batch"):
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(batch, sharding)
+
+
+def make_parallel_train_step(detector, optimizer, mesh: Mesh, axis_name: str = "batch"):
+    """Jitted DP train step: batch sharded over `axis_name`, params replicated.
+
+    Returns (state, batch, rng) -> (state, metrics). The global batch size
+    must be divisible by the mesh size.
+    """
+    repl = NamedSharding(mesh, P())
+    bshard = NamedSharding(mesh, P(axis_name))
+    batch_shardings = (bshard, bshard, bshard, bshard, bshard)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, batch_shardings, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    def train_step(state: TrainState, batch, rng):
+        images, image_hw, gt_boxes, gt_mask, gt_labels = batch
+
+        def loss(params):
+            return detector.loss_fn(
+                params, images, image_hw, gt_boxes, gt_mask, gt_labels, rng
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step

@@ -43,10 +43,10 @@ def _bias_double():
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
 
 
-def make_optimizer(cfg: Dict[str, Any], params, backbone: str):
+def make_optimizer(cfg: Dict[str, Any], params, backbone: str, model_type: str = "faster_rcnn"):
     lr = make_lr_schedule(cfg)
-    tmask = trainable_mask(params, backbone)
-    wdmask = weight_decay_mask(params, backbone)
+    tmask = trainable_mask(params, backbone, model_type)
+    wdmask = weight_decay_mask(params, backbone, model_type)
     chain = [
         optax.add_decayed_weights(2.0 * cfg["weight_decay"], mask=lambda p: wdmask),
     ]
