@@ -22,6 +22,11 @@ ASSUMED_BASELINE_IMG_PER_SEC = 5.0
 
 def main():
     import jax
+
+    # Persistent compilation cache: repeat benchmark runs skip the multi-minute
+    # XLA compile (first run still pays it).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
     import numpy as np
 

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""COCO evaluation CLI (reference: scripts/eval_coco.py:181-251).
+
+Runs im_detect over the COCO val/minival set, writes a results JSON
+([{image_id, category_id, bbox xywh, score}], eval_coco.py:157-164), and
+evaluates with the built-in COCO bbox evaluator.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("ckpt", help="checkpoint dir (orbax) or params .npz")
+    p.add_argument("--annotation_file", required=True)
+    p.add_argument("--image_dir", required=True)
+    p.add_argument("--model_type", default="faster_rcnn", choices=["faster_rcnn", "fpn"])
+    p.add_argument("--backbone", default="resnet50",
+                   choices=["vgg16", "resnet50", "resnet101", "resnet152"])
+    p.add_argument("--results_json", default="./coco_results.json")
+    p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.data.coco import coco_eval_iterator
+    from tf_eager_object_detection_tpu.evaluation.coco_eval import (
+        evaluate_coco_detections,
+    )
+    from tf_eager_object_detection_tpu.evaluation.pascal_eval_files import (
+        eval_post_process,
+    )
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+    from scripts.eval_pascal import load_checkpoint_params
+
+    cfg = dict(config_factory("coco", args.model_type))
+    detector = model_factory(args.model_type, args.backbone, cfg)
+    params = load_checkpoint_params(args.ckpt, detector)
+
+    iterator, ds = coco_eval_iterator(
+        args.annotation_file, args.image_dir, cfg, args.preprocessing_type
+    )
+    results = []
+    for image, image_hw, scale, raw_h, raw_w, img_id in iterator:
+        sm, deltas, rois, roi_valid = detector.im_detect(
+            params, jnp.asarray(image), jnp.asarray(image_hw), float(scale)
+        )
+        boxes_c, scores_c, valid_c = eval_post_process(
+            sm, deltas, rois, roi_valid, float(raw_h), float(raw_w),
+            num_classes=detector.num_classes,
+            max_per_class=cfg["max_objects_per_class_per_image"],
+            score_threshold=cfg["prediction_score_threshold"],
+            nms_iou_threshold=cfg["prediction_nms_iou_threshold"],
+            min_size=10.0,
+            target_means=tuple(cfg["roi_proposal_means"]),
+            target_stds=tuple(cfg["roi_proposal_stds"]),
+        )
+        boxes_c = np.asarray(boxes_c)
+        scores_c = np.asarray(scores_c)
+        valid_c = np.asarray(valid_c)
+        for j in range(detector.num_classes - 1):
+            cat_id = ds.label_to_cat_id[j + 1]
+            for box, score in zip(boxes_c[j][valid_c[j]], scores_c[j][valid_c[j]]):
+                x1, y1, x2, y2 = [float(v) for v in box]
+                results.append(
+                    {
+                        "image_id": int(img_id),
+                        "category_id": int(cat_id),
+                        "bbox": [x1, y1, x2 - x1, y2 - y1],
+                        "score": float(score),
+                    }
+                )
+    with open(args.results_json, "w") as f:
+        json.dump(results, f)
+    evaluate_coco_detections(args.annotation_file, results)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Pascal VOC evaluation CLI (reference: scripts/eval_pascal.py:109-216).
+
+Runs im_detect over the eval set, writes per-class VOC detection files, and
+computes per-class AP + mAP with the detectron-style voc_eval.
+
+    python scripts/eval_pascal.py CKPT_DIR --root_path /data/VOC2007 \
+        --model_type faster_rcnn --backbone resnet50
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("ckpt", help="checkpoint dir (orbax) or params .npz")
+    p.add_argument("--root_path", required=True, help=".../VOCdevkit/VOC2007")
+    p.add_argument("--model_type", default="faster_rcnn", choices=["faster_rcnn", "fpn"])
+    p.add_argument("--backbone", default="resnet50",
+                   choices=["vgg16", "resnet50", "resnet101", "resnet152"])
+    p.add_argument("--mode", default="test")
+    p.add_argument("--result_dir", default="./voc_results")
+    p.add_argument("--use_07_metric", action="store_true")
+    p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
+    return p.parse_args()
+
+
+def load_checkpoint_params(path, detector):
+    import jax
+
+    from tf_eager_object_detection_tpu.training.checkpoints import (
+        CheckpointManager,
+        load_params,
+    )
+    from tf_eager_object_detection_tpu.training.optimizer import make_optimizer
+    from tf_eager_object_detection_tpu.training.train_step import TrainState
+
+    if path.endswith(".npz"):
+        return load_params(path)
+    params = detector.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer(detector.cfg, params, detector.backbone, detector.model_type)
+    import jax.numpy as jnp
+
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    state = CheckpointManager(path).restore(state)
+    return state.params
+
+
+def main():
+    args = parse_args()
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.data.label_map import PASCAL_CLASSES
+    from tf_eager_object_detection_tpu.data.pascal import pascal_eval_iterator
+    from tf_eager_object_detection_tpu.evaluation.pascal_eval_files import (
+        get_prediction_files,
+    )
+    from tf_eager_object_detection_tpu.evaluation.voc_eval import voc_eval
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+
+    cfg = dict(config_factory("pascal", args.model_type))
+    detector = model_factory(args.model_type, args.backbone, cfg)
+    params = load_checkpoint_params(args.ckpt, detector)
+
+    os.makedirs(args.result_dir, exist_ok=True)
+    result_fmt = os.path.join(args.result_dir, "{:s}.txt")
+    iterator, image_ids = pascal_eval_iterator(
+        args.root_path, args.mode, cfg, args.preprocessing_type
+    )
+    get_prediction_files(
+        detector,
+        params,
+        iterator,
+        image_ids,
+        result_fmt,
+        score_threshold=cfg["prediction_score_threshold"],
+        nms_iou_threshold=cfg["prediction_nms_iou_threshold"],
+        max_objects_per_class=cfg["max_objects_per_class_per_image"],
+        max_objects_per_image=cfg["max_objects_per_image"],
+    )
+
+    annopath = os.path.join(args.root_path, "Annotations", "{:s}.xml")
+    imageset = os.path.join(args.root_path, "ImageSets", "Main", f"{args.mode}.txt")
+    cachedir = os.path.join(args.result_dir, "annotations_cache")
+    aps = []
+    for cls in PASCAL_CLASSES:
+        _, _, ap = voc_eval(
+            result_fmt, annopath, imageset, cls, cachedir,
+            ovthresh=cfg["evaluate_iou_threshold"],
+            use_07_metric=args.use_07_metric,
+        )
+        aps.append(ap)
+        print(f"{cls:>15s} AP = {ap:.4f}")
+    print(f"{'mAP':>15s} = {sum(aps) / len(aps):.4f}")
+
+
+if __name__ == "__main__":
+    main()

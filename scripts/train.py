@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Training CLI (reference: scripts/train.py:205-298 arg surface).
+
+Example:
+    python scripts/train.py --model_type faster_rcnn --backbone resnet50 \
+        --data_type pascal --tf_records_dir /data/tfrecords \
+        --logs_dir /tmp/logs --epochs 14
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_type", default="faster_rcnn", choices=["faster_rcnn", "fpn"])
+    p.add_argument("--backbone", default="resnet50",
+                   choices=["vgg16", "resnet50", "resnet101", "resnet152"])
+    p.add_argument("--data_type", default="pascal", choices=["pascal", "coco"])
+    p.add_argument("--tf_records_dir", default=None,
+                   help="dir containing pascal_*_train*.tfrecords")
+    p.add_argument("--coco_annotation_file", default=None)
+    p.add_argument("--coco_image_dir", default=None)
+    p.add_argument("--logs_dir", default="./logs")
+    p.add_argument("--restore_ckpt_path", default=None)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="per-device batch (default: config)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps_per_epoch", type=int, default=5000)
+    p.add_argument("--logging_every_n_steps", type=int, default=100)
+    p.add_argument("--summary_every_n_steps", type=int, default=100)
+    p.add_argument("--saving_every_n_steps", type=int, default=5000)
+    p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch across all local devices")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.data.dataset_factory import dataset_factory
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+    from tf_eager_object_detection_tpu.training.trainer import Trainer
+
+    cfg = dict(config_factory(args.data_type, args.model_type))
+    if args.batch_size:
+        cfg["tpu_train_batch_size_per_device"] = args.batch_size
+    detector = model_factory(args.model_type, args.backbone, cfg)
+
+    if args.data_type == "pascal":
+        records = sorted(glob.glob(os.path.join(args.tf_records_dir, "*train*.tfrecords")))
+        if not records:
+            raise FileNotFoundError(
+                f"no *train*.tfrecords under {args.tf_records_dir}"
+            )
+        data_cfg = {
+            "model_config": cfg,
+            "tf_records_list": records,
+            "batch_size": cfg["tpu_train_batch_size_per_device"],
+            "preprocessing_type": args.preprocessing_type,
+            "seed": args.seed,
+        }
+        batches = dataset_factory("pascal", "train", data_cfg)
+    else:
+        data_cfg = {
+            "model_config": cfg,
+            "annotation_file": args.coco_annotation_file,
+            "image_dir": args.coco_image_dir,
+            "batch_size": cfg["tpu_train_batch_size_per_device"],
+            "preprocessing_type": args.preprocessing_type,
+            "seed": args.seed,
+        }
+        batches = dataset_factory("coco", "train", data_cfg)
+
+    trainer = Trainer(
+        detector,
+        train_dir=args.logs_dir,
+        logging_every_n_steps=args.logging_every_n_steps,
+        summary_every_n_steps=args.summary_every_n_steps,
+        saving_every_n_steps=args.saving_every_n_steps,
+        restore_ckpt_path=args.restore_ckpt_path,
+        seed=args.seed,
+    )
+    epochs = args.epochs or cfg["epochs"]
+    trainer.train(batches, epochs, args.steps_per_epoch)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,8 @@ def _needs_reexec() -> bool:
 
 
 if _needs_reexec():
+    import subprocess
+
     env = dict(os.environ)
     env[_MARK] = "1"
     env["PYTHONPATH"] = ""
@@ -31,7 +33,12 @@ if _needs_reexec():
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+    # subprocess (not execve): pytest's output capture machinery loses the
+    # terminal across an exec, swallowing the report entirely.
+    ret = subprocess.run(
+        [sys.executable, "-m", "pytest", *sys.argv[1:]], env=env
+    ).returncode
+    os._exit(ret)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

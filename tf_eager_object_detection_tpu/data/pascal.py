@@ -35,7 +35,13 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
-__all__ = ["parse_pascal_example", "pascal_train_batches", "pascal_eval_iterator"]
+__all__ = [
+    "parse_pascal_example",
+    "pascal_train_batches",
+    "pascal_train_batches_from_voc",
+    "pascal_eval_iterator",
+    "pascal_eval_iterator_from_tf_records",
+]
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
@@ -93,7 +99,8 @@ def pascal_train_batches(
             preprocessing_type=preprocessing_type,
         )
 
-    with ThreadPoolExecutor(num_workers) as pool:
+    pool = ThreadPoolExecutor(num_workers)
+    try:
         while True:
             records = []
             for p in paths:
@@ -117,6 +124,10 @@ def pascal_train_batches(
             epoch += 1
             if not repeat:
                 return
+    finally:
+        # generator may be closed mid-epoch (or at interpreter teardown):
+        # don't block joining worker threads
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 def _stack_batch(group):
@@ -128,6 +139,120 @@ def _stack_batch(group):
         "gt_mask": np.stack(masks),
         "gt_labels": np.stack(labels),
     }
+
+
+def pascal_train_batches_from_voc(
+    root_path: str,
+    mode: str,
+    cfg: dict,
+    batch_size: int = 1,
+    shuffle: bool = True,
+    repeat: bool = True,
+    seed: int = 0,
+    augment: bool = True,
+    preprocessing_type: str = "caffe",
+    num_workers: int = 4,
+) -> Iterator[dict]:
+    """Train directly from a VOC tree without tfrecords (the reference's
+    legacy `pascal_tf_dataset_local_file.get_dataset`, D5). Same padded batch
+    contract as `pascal_train_batches`."""
+    import random as pyrandom
+
+    from tf_eager_object_detection_tpu.data.label_map import pascal_label_map_dict
+    from tf_eager_object_detection_tpu.data.voc import parse_voc_xml
+
+    label_map = pascal_label_map_dict()
+    with open(os.path.join(root_path, "ImageSets", "Main", f"{mode}.txt")) as f:
+        ids = [line.strip().split()[0] for line in f if line.strip()]
+    rng = pyrandom.Random(seed)
+
+    def load(args):
+        image_id, img_seed = args
+        ann = parse_voc_xml(
+            os.path.join(root_path, "Annotations", f"{image_id}.xml")
+        )
+        path = os.path.join(root_path, "JPEGImages", f"{image_id}.jpg")
+        if cv2 is not None:
+            image = cv2.imread(path)[..., ::-1]
+        else:
+            from PIL import Image
+
+            image = np.asarray(Image.open(path).convert("RGB"))
+        h, w = ann["height"], ann["width"]
+        boxes01 = np.asarray(
+            [
+                [
+                    (o["bbox"][1] - 1.0) / (h - 1.0),
+                    (o["bbox"][0] - 1.0) / (w - 1.0),
+                    (o["bbox"][3] - 1.0) / (h - 1.0),
+                    (o["bbox"][2] - 1.0) / (w - 1.0),
+                ]
+                for o in ann["objects"]
+            ],
+            np.float32,
+        ).reshape(-1, 4)
+        labels = np.asarray(
+            [label_map[o["name"]] for o in ann["objects"]], np.int32
+        )
+        return preprocess_train_image(
+            image, boxes01, labels, cfg, np.random.RandomState(img_seed),
+            augment=augment, preprocessing_type=preprocessing_type,
+        )
+
+    pool = ThreadPoolExecutor(num_workers)
+    try:
+        while True:
+            order = list(ids)
+            if shuffle:
+                rng.shuffle(order)
+            seeds = [rng.randrange(2**31) for _ in order]
+            buckets: dict = {}
+            for item in pool.map(load, zip(order, seeds)):
+                key = item[0].shape[:2]
+                buckets.setdefault(key, []).append(item)
+                if len(buckets[key]) == batch_size:
+                    yield _stack_batch(buckets.pop(key))
+            for group in buckets.values():
+                while len(group) < batch_size:
+                    group.append(group[-1])
+                yield _stack_batch(group)
+            if not repeat:
+                return
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
+
+
+def pascal_eval_iterator_from_tf_records(
+    tfrecord_paths: Sequence[str],
+    cfg: dict,
+    preprocessing_type: str = "caffe",
+    num_workers: int = 4,
+):
+    """Eval iterator over tfrecords (the reference's
+    `eval_pascal_tf_dataset.get_dataset_by_tf_records`, D4). Returns
+    (iterator of (image, image_hw, scale, raw_h, raw_w), image_ids from the
+    stored filenames)."""
+    records: List[bytes] = []
+    for p in tfrecord_paths:
+        records.extend(read_tfrecords(p))
+    image_ids = []
+    for rec in records:
+        feats = decode_example(rec)
+        name = feats.get("image/filename", ("bytes", [b""]))[1][0].decode()
+        image_ids.append(os.path.splitext(name)[0])
+
+    def load(rec):
+        image, _, _ = parse_pascal_example(rec)
+        return preprocess_eval_image(image, cfg, preprocessing_type)
+
+    def iterator():
+        pool = ThreadPoolExecutor(num_workers)
+        try:
+            yield from pool.map(load, records)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+    return iterator(), image_ids
 
 
 def pascal_eval_iterator(
@@ -157,7 +282,10 @@ def pascal_eval_iterator(
         return preprocess_eval_image(img, cfg, preprocessing_type)
 
     def iterator():
-        with ThreadPoolExecutor(num_workers) as pool:
+        pool = ThreadPoolExecutor(num_workers)
+        try:
             yield from pool.map(load, image_ids)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
     return iterator(), image_ids

@@ -24,8 +24,38 @@ Example proto wire layout (field numbers from tensorflow/core/example):
 
 from __future__ import annotations
 
+import ctypes
+import os
 import struct
 from typing import Dict, Iterator, List, Union
+
+
+def _load_native():
+    """Native IO library (native/tfrecord_io.cc): crc32c + record indexing."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(here, "native", "libtfrecord_io.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.crc32c.restype = ctypes.c_uint32
+        lib.crc32c.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.masked_crc32c.restype = ctypes.c_uint32
+        lib.masked_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.tfrecord_index.restype = ctypes.c_int64
+        lib.tfrecord_index.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        return lib
+    except OSError:
+        return None
+
+
+_NATIVE = _load_native()
 
 try:  # baked into the image; pure-python fallback below
     import google_crc32c
@@ -50,8 +80,40 @@ except ImportError:  # pragma: no cover
 
 
 def _masked_crc(data: bytes) -> int:
+    if _NATIVE is not None:
+        return _NATIVE.masked_crc32c(data, len(data))
     crc = _crc32c(data)
     return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def index_tfrecords(path: str, check_crc: bool = False):
+    """[(payload_offset, length)] for a tfrecord file.
+
+    Uses the native indexer when built (one C pass, no per-record python);
+    falls back to walking the framing in python.
+    """
+    if _NATIVE is not None:
+        n = _NATIVE.tfrecord_index(path.encode(), None, None, 0, 1 if check_crc else 0)
+        if n < 0:
+            raise IOError(f"corrupt tfrecord in {path}")
+        offsets = (ctypes.c_uint64 * n)()
+        lengths = (ctypes.c_uint64 * n)()
+        n2 = _NATIVE.tfrecord_index(
+            path.encode(), offsets, lengths, n, 1 if check_crc else 0
+        )
+        if n2 != n:
+            raise IOError(f"tfrecord changed while indexing: {path}")
+        return list(zip(offsets, lengths))
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                return out
+            (length,) = struct.unpack("<Q", header)
+            f.read(4)
+            out.append((f.tell(), length))
+            f.seek(length + 4, 1)
 
 
 # ----------------------------------------------------------- record framing

@@ -29,7 +29,8 @@ __all__ = [
     "resnet_frozen_predicate",
 ]
 
-RESNET_DEPTH_BLOCKS = {50: (3, 4, 6), 101: (3, 4, 23), 152: (3, 8, 36)}
+# blocks per (conv3, conv4) stack; conv2 and conv5 always have 3 blocks
+RESNET_DEPTH_BLOCKS = {50: (4, 6), 101: (4, 23), 152: (8, 36)}
 
 
 def resnet_frozen_predicate(path: str) -> bool:
@@ -97,7 +98,7 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x: jnp.ndarray):
         if self.depth not in RESNET_DEPTH_BLOCKS:
             raise ValueError(f"unknown resnet depth {self.depth}")
-        b3, b4, b5 = RESNET_DEPTH_BLOCKS[self.depth]
+        b3, b4 = RESNET_DEPTH_BLOCKS[self.depth]
 
         x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
         x = nn.Conv(
@@ -116,7 +117,7 @@ class ResNetBackbone(nn.Module):
         x = self._stack(x, 256, b4, 2, "conv4")
         stages["c4"] = x
         if self.include_c5:
-            x = self._stack(x, 512, b5, 2, "conv5")
+            x = self._stack(x, 512, 3, 2, "conv5")
             stages["c5"] = x
 
         out = tuple(stages[s] for s in self.return_stages)

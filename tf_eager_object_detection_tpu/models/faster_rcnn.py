@@ -258,6 +258,73 @@ class FasterRCNNDetector:
         metrics["total_loss"] = total
         return total, metrics
 
+    # ------------------------------------------------------------- debug APIs
+    def predict_rpn(self, params, image, image_hw, gt_boxes, gt_mask, rng):
+        """Positive RPN anchors for one image (debug API mirroring
+        base_faster_rcnn_model.py:226-241). Returns (anchors [A,4],
+        positive_mask [A])."""
+        feats, _, _ = self._backbone_rpn(params, image[None])
+        gh, gw = feats.shape[1], feats.shape[2]
+        anchors = jnp.asarray(self.anchors_for_grid(gh, gw))
+        cfg = self.cfg
+        at = anchor_target(
+            anchors, gt_boxes, gt_mask, image_hw[0], image_hw[1], rng,
+            pos_iou_threshold=cfg["rpn_pos_iou_threshold"],
+            neg_iou_threshold=cfg["rpn_neg_iou_threshold"],
+            total_num_samples=cfg["rpn_total_sample_number"],
+            max_pos_samples=cfg["rpn_pos_sample_max_number"],
+        )
+        return anchors, at.labels == 1
+
+    def predict_roi(self, params, image, image_hw, gt_boxes, gt_mask, gt_labels, rng):
+        """Proposal-target training batch for one image (debug API mirroring
+        base_faster_rcnn_model.py:243-265)."""
+        cfg = self.cfg
+        feats, score_map, bbox_map = self._backbone_rpn(params, image[None])
+        gh, gw = feats.shape[1], feats.shape[2]
+        anchors = self.anchors_for_grid(gh, gw)
+        rois, roi_valid, _ = self._proposals(
+            score_map[0], bbox_map[0], anchors, image_hw, (gh, gw), training=True
+        )
+        return proposal_target(
+            rois, roi_valid, gt_boxes, gt_mask, gt_labels, rng,
+            num_classes=self.num_classes,
+            pos_iou_threshold=cfg["roi_pos_iou_threshold"],
+            neg_iou_threshold=cfg["roi_neg_iou_threshold"],
+            total_num_samples=cfg["roi_total_sample_number"],
+            max_pos_samples=cfg["roi_pos_sample_max_number"],
+            target_means=tuple(cfg["roi_proposal_means"]),
+            target_stds=tuple(cfg["roi_proposal_stds"]),
+        )
+
+    def test_one_image(self, params, img_path, preprocessing_type="caffe"):
+        """Load + preprocess + predict one image file (debug API mirroring
+        base_faster_rcnn_model.py:267-277). Host-side convenience."""
+        import numpy as np_
+
+        from tf_eager_object_detection_tpu.data.preprocessing import (
+            preprocess_eval_image,
+        )
+
+        try:
+            import cv2
+
+            img = cv2.imread(img_path)[..., ::-1]
+        except Exception:
+            from PIL import Image
+
+            img = np_.asarray(Image.open(img_path).convert("RGB"))
+        padded, hw, scale, _, _ = preprocess_eval_image(
+            img, self.cfg, preprocessing_type
+        )
+        det = self.predict(params, jnp.asarray(padded), jnp.asarray(hw))
+        v = np_.asarray(det.valid)
+        return (
+            np_.asarray(det.boxes)[v] / scale,
+            np_.asarray(det.labels)[v],
+            np_.asarray(det.scores)[v],
+        )
+
     # --------------------------------------------------------------- predict
     def _roi_forward(self, params, feats, score_map, bbox_map, image_hw):
         """Single-image eval path up to raw RoI head outputs."""

@@ -55,7 +55,7 @@ def _select_topk_random(candidates: jnp.ndarray, k: int, key) -> jnp.ndarray:
     n = candidates.shape[0]
     pri = jax.random.uniform(key, (n,))
     scores = jnp.where(candidates, pri, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, k)
+    _, idx = jax.lax.top_k(scores, min(k, n))
     chosen = jnp.zeros((n,), bool).at[idx].set(True)
     return chosen & candidates
 
@@ -117,8 +117,9 @@ def anchor_target(
     bg = labels == 0
     pri = jax.random.uniform(key_bg, (a,))
     bg_scores = jnp.where(bg, pri, -jnp.inf)
-    _, bg_idx = jax.lax.top_k(bg_scores, total_num_samples)
-    bg_rank = jnp.arange(total_num_samples)
+    k_bg = min(total_num_samples, a)
+    _, bg_idx = jax.lax.top_k(bg_scores, k_bg)
+    bg_rank = jnp.arange(k_bg)
     bg_take = (bg_rank < num_bg) & (bg_scores[bg_idx] > -jnp.inf)
     bg_kept = jnp.zeros((a,), bool).at[bg_idx].set(bg_take)
     labels = jnp.where(bg & ~bg_kept, -1, labels)
@@ -182,7 +183,8 @@ def proposal_target(
     # materialize their indices in a fixed [max_pos_samples] prefix.
     pri_fg = jax.random.uniform(key_fg, (r,))
     fg_scores = jnp.where(fg_cand, pri_fg, -jnp.inf)
-    _, fg_idx = jax.lax.top_k(fg_scores, max_pos_samples)
+    k_fg = min(max_pos_samples, r)
+    _, fg_idx = jax.lax.top_k(fg_scores, k_fg)
     fg_valid = fg_scores[fg_idx] > -jnp.inf  # [max_pos]
     num_fg = jnp.sum(fg_valid.astype(jnp.int32))
 
@@ -190,7 +192,10 @@ def proposal_target(
     num_bg_needed = s - num_fg
     pri_bg = jax.random.uniform(key_bg, (r,))
     bg_scores = jnp.where(bg_cand, pri_bg, -jnp.inf)
-    _, bg_idx_wor = jax.lax.top_k(bg_scores, s)
+    _, bg_idx_wor = jax.lax.top_k(bg_scores, min(s, r))
+    if bg_idx_wor.shape[0] < s:  # fewer rois than slots: tile indices
+        reps = -(-s // bg_idx_wor.shape[0])
+        bg_idx_wor = jnp.tile(bg_idx_wor, reps)[:s]
     num_bg_avail = jnp.sum(bg_cand.astype(jnp.int32))
 
     # ... and WITH replacement when scarce (proposal_target.py:74-77).
@@ -209,7 +214,7 @@ def proposal_target(
     # Assemble output slots: [fg_0..fg_{num_fg-1}, bg_0, ...].
     slot = jnp.arange(s)
     is_fg_slot = slot < num_fg
-    fg_slot_idx = fg_idx[jnp.minimum(slot, max_pos_samples - 1)]
+    fg_slot_idx = fg_idx[jnp.minimum(slot, k_fg - 1)]
     bg_slot_idx = bg_idx_all[jnp.maximum(slot - num_fg, 0)]
     src = jnp.where(is_fg_slot, fg_slot_idx, bg_slot_idx)  # [S] roi indices
 
