@@ -38,8 +38,11 @@ def main():
         make_train_step,
     )
 
+    import os
+
     cfg = dict(config_factory("pascal", "faster_rcnn"))
-    backbone = "resnet50"
+    cfg["tpu_compute_dtype"] = os.environ.get("BENCH_DTYPE", cfg["tpu_compute_dtype"])
+    backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
     det = model_factory("faster_rcnn", backbone, cfg)
     params = det.init_params(jax.random.PRNGKey(0))
     opt = make_optimizer(cfg, params, backbone)

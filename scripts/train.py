@@ -37,6 +37,8 @@ def parse_args():
     p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch across all local devices")
+    p.add_argument("--compute_dtype", default=None, choices=["float32", "bfloat16"],
+                   help="override config tpu_compute_dtype")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -55,6 +57,8 @@ def main():
     cfg = dict(config_factory(args.data_type, args.model_type))
     if args.batch_size:
         cfg["tpu_train_batch_size_per_device"] = args.batch_size
+    if args.compute_dtype:
+        cfg["tpu_compute_dtype"] = args.compute_dtype
     detector = model_factory(args.model_type, args.backbone, cfg)
 
     if args.data_type == "pascal":

@@ -75,6 +75,7 @@ def get_default_pascal_faster_rcnn_config():
         "tpu_image_buckets": [[608, 1008], [1008, 608]],
         "tpu_max_gt_boxes": 100,
         "tpu_train_batch_size_per_device": 1,
+        "tpu_compute_dtype": "float32",  # or "bfloat16" (MXU-native, ~2x conv throughput)
     }
 
 

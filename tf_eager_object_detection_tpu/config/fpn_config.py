@@ -64,6 +64,7 @@ def get_default_pascal_fpn_config():
         "tpu_image_buckets": [[640, 1024], [1024, 640]],
         "tpu_max_gt_boxes": 100,
         "tpu_train_batch_size_per_device": 1,
+        "tpu_compute_dtype": "float32",  # or "bfloat16" (MXU-native, ~2x conv throughput)
     }
 
 

@@ -124,6 +124,79 @@ class ResNetBackbone(nn.Module):
         return out[0] if len(out) == 1 else out
 
 
+class SlimResNetBackbone(nn.Module):
+    """Slim-style ResNet v1 multi-output extractor (FPN's alternative
+    backbone, resnet_fpn.py:31-150; unused by default in the reference —
+    selected-out at resnet_fpn.py:537-539 — but kept for parity).
+
+    Differences vs the keras-style `ResNetBackbone`: the stride sits on the
+    *last* block of each stack (on its 3x3 conv, with explicit asymmetric
+    padding + VALID), identity shortcuts subsample via a 1x1/stride-2 "max
+    pool", and each stack returns its pre-stride output as the FPN lateral
+    (c2..c4) with conv5 run at stride 1.
+    """
+
+    depth: int = 50
+    dtype: jnp.dtype = jnp.float32
+
+    def _bottleneck(self, x, filters: int, stride: int, prefix: str):
+        in_depth = x.shape[-1]
+        if 4 * filters == in_depth:
+            shortcut = x if stride == 1 else x[:, ::stride, ::stride, :]
+        else:
+            shortcut = nn.Conv(
+                4 * filters, (1, 1), strides=(stride, stride),
+                name=f"{prefix}_0_conv", kernel_init=nn.initializers.he_normal(),
+                dtype=self.dtype,
+            )(x)
+            shortcut = FrozenBatchNorm(name=f"{prefix}_0_bn")(shortcut)
+        y = nn.Conv(
+            filters, (1, 1), name=f"{prefix}_1_conv",
+            kernel_init=nn.initializers.he_normal(), dtype=self.dtype,
+        )(x)
+        y = nn.relu(FrozenBatchNorm(name=f"{prefix}_1_bn")(y))
+        # explicit (1, 1) pad + VALID (== slim's fixed padding; differs from
+        # SAME only when stride > 1)
+        y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = nn.Conv(
+            filters, (3, 3), strides=(stride, stride), padding="VALID",
+            name=f"{prefix}_2_conv", kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype,
+        )(y)
+        y = nn.relu(FrozenBatchNorm(name=f"{prefix}_2_bn")(y))
+        y = nn.Conv(
+            4 * filters, (1, 1), name=f"{prefix}_3_conv",
+            kernel_init=nn.initializers.he_normal(), dtype=self.dtype,
+        )(y)
+        y = FrozenBatchNorm(name=f"{prefix}_3_bn")(y)
+        return nn.relu(shortcut + y)
+
+    def _stack(self, x, filters: int, blocks: int, stride: int, name: str):
+        """Returns (pre-stride output, post-stride output)."""
+        for i in range(1, blocks):
+            x = self._bottleneck(x, filters, 1, f"{name}_block{i}")
+        final = self._bottleneck(x, filters, stride, f"{name}_block{blocks}")
+        return x, final
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        b3, b4 = RESNET_DEPTH_BLOCKS[self.depth]
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding="VALID", name="conv1_conv",
+            kernel_init=nn.initializers.he_normal(), dtype=self.dtype,
+        )(x)
+        x = nn.relu(FrozenBatchNorm(name="conv1_bn")(x))
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+        c2, c2f = self._stack(x, 64, 3, 2, "conv2")
+        c3, c3f = self._stack(c2f, 128, b3, 2, "conv3")
+        c4, c4f = self._stack(c3f, 256, b4, 2, "conv4")
+        _, c5f = self._stack(c4f, 512, 3, 1, "conv5")
+        return c2, c3, c4, c5f
+
+
 class ResNetRoiHead(nn.Module):
     """RoI features [N, 7, 7, 1024] -> (scores [N, C], deltas [N, 4C]).
 
@@ -136,38 +209,44 @@ class ResNetRoiHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
-        x = _roi_conv5(self, x)
+        x = _roi_conv5(self, x, self.dtype)
         x = jnp.mean(x, axis=(1, 2))
         score = nn.Dense(
             self.num_classes,
             name="roi_head_score",
             kernel_init=nn.initializers.normal(0.01),
-        )(x)
+        )(x.astype(jnp.float32))
         boxes = nn.Dense(
             4 * self.num_classes,
             name="roi_head_bboxes",
             kernel_init=nn.initializers.normal(0.001),
-        )(x)
+        )(x.astype(jnp.float32))
         return score, boxes
 
 
-def _roi_conv5(mod: nn.Module, x: jnp.ndarray) -> jnp.ndarray:
+def _roi_conv5(mod: nn.Module, x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """conv5 stack (3 bottlenecks, stride 1) inside `mod`'s scope."""
 
     def bottleneck(x, stride, conv_shortcut, prefix):
         filters = 512
         if conv_shortcut:
             shortcut = nn.Conv(
-                4 * filters, (1, 1), strides=(stride, stride), name=f"{prefix}_0_conv"
+                4 * filters, (1, 1), strides=(stride, stride),
+                name=f"{prefix}_0_conv", dtype=dtype,
             )(x)
             shortcut = FrozenBatchNorm(name=f"{prefix}_0_bn")(shortcut)
         else:
             shortcut = x
-        y = nn.Conv(filters, (1, 1), strides=(stride, stride), name=f"{prefix}_1_conv")(x)
+        y = nn.Conv(
+            filters, (1, 1), strides=(stride, stride), name=f"{prefix}_1_conv",
+            dtype=dtype,
+        )(x)
         y = nn.relu(FrozenBatchNorm(name=f"{prefix}_1_bn")(y))
-        y = nn.Conv(filters, (3, 3), padding="SAME", name=f"{prefix}_2_conv")(y)
+        y = nn.Conv(
+            filters, (3, 3), padding="SAME", name=f"{prefix}_2_conv", dtype=dtype
+        )(y)
         y = nn.relu(FrozenBatchNorm(name=f"{prefix}_2_bn")(y))
-        y = nn.Conv(4 * filters, (1, 1), name=f"{prefix}_3_conv")(y)
+        y = nn.Conv(4 * filters, (1, 1), name=f"{prefix}_3_conv", dtype=dtype)(y)
         y = FrozenBatchNorm(name=f"{prefix}_3_bn")(y)
         return nn.relu(shortcut + y)
 

@@ -68,27 +68,39 @@ class FasterRCNNDetector:
         cfg = self.cfg
         self.num_classes = cfg["num_classes"]
         self.stride = cfg["extractor_stride"]
+        self.compute_dtype = (
+            jnp.bfloat16
+            if cfg.get("tpu_compute_dtype", "float32") == "bfloat16"
+            else jnp.float32
+        )
         self.num_anchors = len(cfg["ratios"]) * len(cfg["scales"])
         self.anchor_base = generate_anchor_base(
             self.stride, cfg["ratios"], cfg["scales"]
         )
 
         if backbone == "vgg16":
-            self.extractor = Vgg16Extractor()
+            self.extractor = Vgg16Extractor(dtype=self.compute_dtype)
             self.roi_head = Vgg16RoiHead(
                 num_classes=self.num_classes,
                 keep_rate=cfg["roi_head_keep_dropout_rate"],
+                dtype=self.compute_dtype,
             )
             self.roi_feature_channels = cfg["vgg16_roi_feature_size"][-1]
             self.roi_max_pooling = cfg["vgg16_roi_pooling_max_pooling_flag"]
         elif backbone in _RESNET_DEPTHS:
-            self.extractor = ResNetBackbone(depth=_RESNET_DEPTHS[backbone])
-            self.roi_head = ResNetRoiHead(num_classes=self.num_classes)
+            self.extractor = ResNetBackbone(
+                depth=_RESNET_DEPTHS[backbone], dtype=self.compute_dtype
+            )
+            self.roi_head = ResNetRoiHead(
+                num_classes=self.num_classes, dtype=self.compute_dtype
+            )
             self.roi_feature_channels = cfg["resnet_roi_feature_size"][-1]
             self.roi_max_pooling = cfg["resnet_roi_pooling_max_pooling_flag"]
         else:
             raise ValueError(f"unknown backbone {backbone}")
-        self.rpn_head = RpnHead(num_anchors=self.num_anchors)
+        self.rpn_head = RpnHead(
+            num_anchors=self.num_anchors, dtype=self.compute_dtype
+        )
         self._anchor_cache: dict = {}
 
     # ------------------------------------------------------------------ init
@@ -120,7 +132,8 @@ class FasterRCNNDetector:
         score_map, bbox_map = self.rpn_head.apply(
             {"params": params["rpn_head"]}, feats
         )
-        return feats, score_map, bbox_map
+        # detection geometry runs in f32 regardless of the compute dtype
+        return feats, score_map.astype(jnp.float32), bbox_map.astype(jnp.float32)
 
     def _proposals(
         self, score_map, bbox_map, anchors, image_hw, grid_hw, training: bool
@@ -370,6 +383,26 @@ class FasterRCNNDetector:
             min_edge=float(self.stride),
             num_classes=self.num_classes,
         )
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def im_detect_batch(self, params, images, image_hw, scales):
+        """Batched im_detect: images [B, Hp, Wp, 3], image_hw [B, 2],
+        scales [B] -> per-image stacked outputs. The backbone runs batched on
+        the MXU; the per-image proposal/RoI path is vmapped."""
+        feats, score_map, bbox_map = self._backbone_rpn(params, images)
+
+        def one(feat_i, score_i, bbox_i, hw_i, scale_i):
+            rois, roi_valid, roi_softmax, roi_deltas = self._roi_forward(
+                params, feat_i, score_i, bbox_i, hw_i
+            )
+            return (
+                roi_softmax,
+                roi_deltas.reshape(-1, self.num_classes, 4),
+                rois / scale_i,
+                roi_valid,
+            )
+
+        return jax.vmap(one)(feats, score_map, bbox_map, image_hw, scales)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def im_detect(self, params, image, image_hw, scale):

@@ -75,12 +75,16 @@ class ResnetFpnNeck(nn.Module):
     """(c2, c3, c4, c5) -> (p2, p3, p4, p5, p6). resnet_fpn.py:339-407."""
 
     top_down_dims: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs):
         c2, c3, c4, c5 = inputs
         conv = functools.partial(
-            nn.Conv, self.top_down_dims, kernel_init=nn.initializers.he_normal()
+            nn.Conv,
+            self.top_down_dims,
+            kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype,
         )
         p5 = conv((1, 1), name="build_p5")(c5)
         # p6: stride-2 max pool with pool_size 1 == subsample every other px
@@ -104,13 +108,15 @@ class FpnRoiHead(nn.Module):
     """[N, 7, 7, 256] -> (scores [N, C], deltas [N, 4C]). resnet_fpn.py:292-336."""
 
     num_classes: int = 21
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
         n = x.shape[0]
         x = x.reshape(n, -1)
-        x = nn.relu(nn.Dense(1024, name="fc1")(x))
-        x = nn.relu(nn.Dense(1024, name="fc2")(x))
+        x = nn.relu(nn.Dense(1024, name="fc1", dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(1024, name="fc2", dtype=self.dtype)(x))
+        x = x.astype(jnp.float32)
         score = nn.Dense(
             self.num_classes,
             name="roi_head_score",
@@ -139,14 +145,36 @@ class FPNDetector:
         self.min_level = cfg["min_level"]
         self.max_level = cfg["max_level"]
         self.num_anchors = len(cfg["ratios"]) * len(cfg["scales"])
-        self.extractor = ResNetBackbone(
-            depth=_RESNET_DEPTHS[backbone],
-            return_stages=("c2", "c3", "c4", "c5"),
-            include_c5=True,
+        self.compute_dtype = (
+            jnp.bfloat16
+            if cfg.get("tpu_compute_dtype", "float32") == "bfloat16"
+            else jnp.float32
         )
-        self.neck = ResnetFpnNeck(top_down_dims=cfg["top_down_dims"])
-        self.rpn_head = RpnHead(num_anchors=self.num_anchors, box_init_std=0.001)
-        self.roi_head = FpnRoiHead(num_classes=self.num_classes)
+        if cfg.get("tpu_fpn_backbone_style", "keras") == "slim":
+            from tf_eager_object_detection_tpu.models.backbones.resnet import (
+                SlimResNetBackbone,
+            )
+
+            self.extractor = SlimResNetBackbone(
+                depth=_RESNET_DEPTHS[backbone], dtype=self.compute_dtype
+            )
+        else:
+            self.extractor = ResNetBackbone(
+                depth=_RESNET_DEPTHS[backbone],
+                return_stages=("c2", "c3", "c4", "c5"),
+                include_c5=True,
+                dtype=self.compute_dtype,
+            )
+        self.neck = ResnetFpnNeck(
+            top_down_dims=cfg["top_down_dims"], dtype=self.compute_dtype
+        )
+        self.rpn_head = RpnHead(
+            num_anchors=self.num_anchors, box_init_std=0.001,
+            dtype=self.compute_dtype,
+        )
+        self.roi_head = FpnRoiHead(
+            num_classes=self.num_classes, dtype=self.compute_dtype
+        )
         self._anchor_cache: dict = {}
 
     def init_params(self, rng, image_size=(64, 64)):
@@ -209,8 +237,8 @@ class FPNDetector:
         score_list, bbox_list = [], []
         for p in p_list:
             s, b = self.rpn_head.apply({"params": params["rpn_head"]}, p)
-            score_list.append(s)
-            bbox_list.append(b)
+            score_list.append(s.astype(jnp.float32))
+            bbox_list.append(b.astype(jnp.float32))
         return p_list, score_list, bbox_list
 
     @staticmethod

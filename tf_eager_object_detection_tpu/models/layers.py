@@ -32,8 +32,12 @@ class FrozenBatchNorm(nn.Module):
         mean = self.param("moving_mean", nn.initializers.zeros, (c,))
         var = self.param("moving_variance", nn.initializers.ones, (c,))
         inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon))
-        # Fold into a single scale/shift: XLA fuses this into the conv.
-        return x * (gamma * inv) + (beta - mean * gamma * inv)
+        # Fold into a single scale/shift (computed in f32, applied in the
+        # input's compute dtype so a bf16 conv chain stays bf16); XLA fuses
+        # this into the adjacent conv.
+        scale = (gamma * inv).astype(x.dtype)
+        shift = (beta - mean * gamma * inv).astype(x.dtype)
+        return x * scale + shift
 
 
 def max_pool_same(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:

@@ -91,6 +91,7 @@ class Trainer:
                 vals = {k: float(v) for k, v in metrics.items()}
                 vals["learning_rate"] = float(self.lr_schedule(step))
                 self.writer.write_scalars(step, vals)
+                self._write_gt_overlay(step, batch)
             if step % self.saving_every == 0:
                 self.ckpt.save(self.state)
             if steps is not None and n >= steps:
@@ -98,6 +99,25 @@ class Trainer:
         dt = time.time() - t_start
         print(f"epoch finished: {n} steps in {dt:.1f}s ({n / max(dt, 1e-9):.2f} steps/s)")
         return self.state
+
+    def _write_gt_overlay(self, step: int, batch: dict):
+        """gt-box overlay image summary (scripts/train.py:114-142 analogue)."""
+        try:
+            from tf_eager_object_detection_tpu.utils.visual import show_one_image
+
+            img = np.asarray(batch["images"][0])
+            mask = np.asarray(batch["gt_mask"][0])
+            boxes = np.asarray(batch["gt_boxes"][0])[mask]
+            labels = np.asarray(batch["gt_labels"][0])[mask]
+            overlay = show_one_image(
+                img, boxes, labels.tolist(),
+                bgr_means=self.det.cfg.get(
+                    "bgr_pixel_means", (103.939, 116.779, 123.68)
+                ),
+            )
+            self.writer.write_image(step, "gt_boxes", overlay)
+        except Exception:
+            pass  # visualization must never break training
 
     def train(self, batches: Iterator[dict], epochs: int, steps_per_epoch: int):
         for epoch in range(epochs):
