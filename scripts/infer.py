@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Single-image inference CLI (the reference's `test_one_image` flow,
+base_faster_rcnn_model.py:267-277): load -> preprocess -> predict -> draw.
+
+    python scripts/infer.py CKPT image.jpg --out detections.png
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("ckpt", help="checkpoint dir (orbax) or params .npz")
+    p.add_argument("image")
+    p.add_argument("--model_type", default="faster_rcnn", choices=["faster_rcnn", "fpn"])
+    p.add_argument("--backbone", default="resnet50",
+                   choices=["vgg16", "resnet50", "resnet101", "resnet152"])
+    p.add_argument("--data_type", default="pascal", choices=["pascal", "coco"])
+    p.add_argument("--out", default=None, help="write box-overlay image here")
+    p.add_argument("--score_threshold", type=float, default=0.3)
+    args = p.parse_args()
+
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.data.label_map import PASCAL_CLASSES
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+    from scripts.eval_pascal import load_checkpoint_params
+
+    cfg = dict(config_factory(args.data_type, args.model_type))
+    det = model_factory(args.model_type, args.backbone, cfg)
+    params = load_checkpoint_params(args.ckpt, det)
+    boxes, labels, scores = det.test_one_image(params, args.image)
+    keep = scores >= args.score_threshold
+    boxes, labels, scores = boxes[keep], labels[keep], scores[keep]
+    names = (
+        {i + 1: n for i, n in enumerate(PASCAL_CLASSES)}
+        if args.data_type == "pascal"
+        else {}
+    )
+    for b, l, s in zip(boxes, labels, scores):
+        name = names.get(int(l), str(int(l)))
+        print(f"{name:>15s} {s:.3f}  [{b[0]:.1f}, {b[1]:.1f}, {b[2]:.1f}, {b[3]:.1f}]")
+    if args.out:
+        import numpy as np
+        from PIL import Image
+
+        from tf_eager_object_detection_tpu.utils.visual import draw_bboxes_with_labels
+
+        img = np.asarray(Image.open(args.image).convert("RGB"))
+        tags = [f"{names.get(int(l), int(l))}:{s:.2f}" for l, s in zip(labels, scores)]
+        Image.fromarray(draw_bboxes_with_labels(img, boxes, tags)).save(args.out)
+        print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
