@@ -39,6 +39,8 @@ def parse_args():
                    help="shard the batch across all local devices")
     p.add_argument("--compute_dtype", default=None, choices=["float32", "bfloat16"],
                    help="override config tpu_compute_dtype")
+    p.add_argument("--learning_rate", type=float, default=None,
+                   help="override the initial LR (later LRs scale accordingly)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -59,6 +61,10 @@ def main():
         cfg["tpu_train_batch_size_per_device"] = args.batch_size
     if args.compute_dtype:
         cfg["tpu_compute_dtype"] = args.compute_dtype
+    if args.learning_rate:
+        lrs = cfg["learning_rate_multi_lrs"]
+        scale = args.learning_rate / lrs[0]
+        cfg["learning_rate_multi_lrs"] = [lr * scale for lr in lrs]
     detector = model_factory(args.model_type, args.backbone, cfg)
 
     if args.data_type == "pascal":

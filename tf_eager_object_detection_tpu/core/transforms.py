@@ -56,10 +56,17 @@ def decode_boxes(
 
     Matches bbox_transform.py:32-55 `decode_bbox_with_mean_and_std`,
     including the x2 = x1 + width (no -1) convention of the reference.
+
+    Deviation: dw/dh are clamped to log(1000/16) before exp (the standard
+    Detectron BBOX_XFORM_CLIP). The reference has no clamp but also never
+    trains from random init; without it, early-training deltas overflow
+    exp() and poison the step with NaNs.
     """
     means = jnp.asarray(means, jnp.float32)
     stds = jnp.asarray(stds, jnp.float32)
     delta = deltas.astype(jnp.float32) * stds + means
+    clip = 4.135166556742356  # log(1000 / 16)
+    delta = delta.at[..., 2:].set(jnp.clip(delta[..., 2:], -clip, clip))
 
     w = anchors[..., 2] - anchors[..., 0] + 1.0
     h = anchors[..., 3] - anchors[..., 1] + 1.0

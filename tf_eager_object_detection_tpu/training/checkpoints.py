@@ -35,6 +35,8 @@ class CheckpointManager:
 
     def save(self, state: TrainState):
         step = int(state.step)
+        if step in (self._mgr.all_steps() or []):
+            return  # e.g. epoch-end save right after an interval save
         self._mgr.save(
             step, args=ocp.args.StandardSave(_to_pytree(state)), force=True
         )
