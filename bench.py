@@ -76,12 +76,17 @@ def main():
         state, metrics = step(state, batch, jax.random.PRNGKey(i + 1))
     jax.block_until_ready(metrics["total_loss"])
 
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step(state, batch, jax.random.PRNGKey(i + 10))
     jax.block_until_ready(metrics["total_loss"])
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     img_per_sec = n_steps * b / dt
     print(

@@ -433,6 +433,26 @@ class FPNDetector:
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def im_detect_batch(self, params, images, image_hw, scales):
+        """Batched im_detect (batched backbone/neck + vmapped RoI path)."""
+        p_list, score_list, bbox_list = self._backbone_neck_rpn(params, images)
+
+        def one(p_i, score_i, bbox_i, hw_i, scale_i):
+            rois, roi_valid, roi_softmax, roi_deltas = self._roi_forward(
+                params, list(p_i), list(score_i), list(bbox_i), hw_i
+            )
+            return (
+                roi_softmax,
+                roi_deltas.reshape(-1, self.num_classes, 4),
+                rois / scale_i,
+                roi_valid,
+            )
+
+        return jax.vmap(one)(
+            tuple(p_list), tuple(score_list), tuple(bbox_list), image_hw, scales
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0,))
     def im_detect(self, params, image, image_hw, scale):
         p_list, score_list, bbox_list = self._backbone_neck_rpn(params, image[None])
         rois, roi_valid, roi_softmax, roi_deltas = self._roi_forward(

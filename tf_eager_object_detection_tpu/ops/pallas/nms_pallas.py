@@ -61,12 +61,18 @@ def _nms_kernel(thr_ref, maxout_ref, boxes_ref, valid_ref, alive_ref, *, block: 
     def outer_body(state):
         i, kept = state
         s = i * block
-        dslice = lambda v: jax.lax.dynamic_slice_in_dim(v, s, block, axis=1)
-        bx1 = jnp.transpose(dslice(x1))  # [B, 1]
-        by1 = jnp.transpose(dslice(y1))
-        bx2 = jnp.transpose(dslice(x2))
-        by2 = jnp.transpose(dslice(y2))
+        # block coords read straight off the ref (Mosaic lowers pl.ds on
+        # refs; lax.dynamic_slice on loaded values is not lowered)
+        bx1r = boxes_ref[0:1, pl.ds(s, block)]  # [1, B]
+        by1r = boxes_ref[1:2, pl.ds(s, block)]
+        bx2r = boxes_ref[2:3, pl.ds(s, block)]
+        by2r = boxes_ref[3:4, pl.ds(s, block)]
+        bx1 = jnp.transpose(bx1r)  # [B, 1]
+        by1 = jnp.transpose(by1r)
+        bx2 = jnp.transpose(bx2r)
+        by2 = jnp.transpose(by2r)
         b_area = (bx2 - bx1) * (by2 - by1)  # [B, 1]
+        c_area = (bx2r - bx1r) * (by2r - by1r)  # [1, B]
 
         blk_init = alive_ref[:, pl.ds(s, block)]  # [1, B] f32
 
@@ -74,7 +80,7 @@ def _nms_kernel(thr_ref, maxout_ref, boxes_ref, valid_ref, alive_ref, *, block: 
         iou_bb = iou_block_vs(
             (bx1, by1, bx2, by2),
             b_area,
-            (dslice(x1), dslice(y1), dslice(x2), dslice(y2), dslice(area)),
+            (bx1r, by1r, bx2r, by2r, c_area),
         )  # [B, B]; rows = earlier index i, cols = later index j
         ov = jnp.where((iou_bb > thr) & (rows_b < cols_b), 1.0, 0.0)
 
@@ -100,9 +106,8 @@ def _nms_kernel(thr_ref, maxout_ref, boxes_ref, valid_ref, alive_ref, *, block: 
         killed_tail = jnp.max(hit, axis=0, keepdims=True)  # [1, K]
         killed_tail = jnp.where(pos >= s + block, killed_tail, 0.0)
 
-        new_alive = alive_ref[:, :] * (1.0 - killed_tail)
-        new_alive = jax.lax.dynamic_update_slice(new_alive, blk_alive, (0, s))
-        alive_ref[:, :] = new_alive
+        alive_ref[:, :] = alive_ref[:, :] * (1.0 - killed_tail)
+        alive_ref[:, pl.ds(s, block)] = blk_alive
         kept = kept + jnp.sum(blk_alive).astype(jnp.int32)
         return i + 1, kept
 

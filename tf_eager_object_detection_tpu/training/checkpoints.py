@@ -45,6 +45,11 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def close(self):
+        """Shut down orbax's background threads (they otherwise keep the
+        interpreter alive after training finishes)."""
+        self._mgr.close()
+
     def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
         """Restore into the structure of `state` (params/opt must match)."""
         step = step if step is not None else self._mgr.latest_step()

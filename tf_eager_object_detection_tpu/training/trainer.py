@@ -125,4 +125,9 @@ class Trainer:
             self.train_one_epoch(batches, steps_per_epoch)
             self.ckpt.save(self.state)
         self.writer.flush()
+        self.close()
         return self.state
+
+    def close(self):
+        self.writer.close()
+        self.ckpt.close()
