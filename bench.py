@@ -42,6 +42,9 @@ def main():
 
     cfg = dict(config_factory("pascal", "faster_rcnn"))
     cfg["tpu_compute_dtype"] = os.environ.get("BENCH_DTYPE", cfg["tpu_compute_dtype"])
+    cfg["tpu_train_batch_size_per_device"] = int(
+        os.environ.get("BENCH_BATCH", cfg["tpu_train_batch_size_per_device"])
+    )
     backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
     det = model_factory("faster_rcnn", backbone, cfg)
     params = det.init_params(jax.random.PRNGKey(0))

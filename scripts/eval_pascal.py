@@ -24,7 +24,9 @@ def parse_args():
                    choices=["vgg16", "resnet50", "resnet101", "resnet152"])
     p.add_argument("--mode", default="test")
     p.add_argument("--result_dir", default="./voc_results")
-    p.add_argument("--use_07_metric", action="store_true")
+    # VOC07 uses the 11-point metric by default (reference eval_pascal.py:128)
+    p.add_argument("--use_07_metric", action="store_true", default=True)
+    p.add_argument("--no_07_metric", dest="use_07_metric", action="store_false")
     p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
     return p.parse_args()
 

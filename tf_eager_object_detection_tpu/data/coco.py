@@ -120,7 +120,8 @@ def coco_train_batches(
             augment=augment, preprocessing_type=preprocessing_type,
         )
 
-    with ThreadPoolExecutor(num_workers) as pool:
+    pool = ThreadPoolExecutor(num_workers)
+    try:
         while True:
             order = list(range(len(dataset)))
             if shuffle:
@@ -138,6 +139,8 @@ def coco_train_batches(
                 yield _stack(group)
             if not repeat:
                 return
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 def _stack(group):
