@@ -128,7 +128,12 @@ class FasterRCNNDetector:
 
     # ----------------------------------------------------------- shared path
     def _backbone_rpn(self, params, images):
-        feats = self.extractor.apply({"params": params["extractor"]}, images)
+        apply_extractor = lambda p, x: self.extractor.apply({"params": p}, x)
+        if self.cfg.get("tpu_remat", False):
+            # rematerialize backbone activations on the backward pass: trades
+            # ~30% extra FLOPs for the memory to fit larger batches
+            apply_extractor = jax.checkpoint(apply_extractor)
+        feats = apply_extractor(params["extractor"], images)
         score_map, bbox_map = self.rpn_head.apply(
             {"params": params["rpn_head"]}, feats
         )
@@ -237,9 +242,15 @@ class FasterRCNNDetector:
                 feat_i, pt.rois, self.stride, cfg["roi_pooling_size"],
                 self.roi_max_pooling,
             )
-            return rpn_cls, rpn_reg, roi_feats, pt
+            counts = {
+                "num_proposals": jnp.sum(roi_valid.astype(jnp.float32)),
+                "num_rpn_fg": jnp.sum((at.labels == 1).astype(jnp.float32)),
+                "num_rpn_bg": jnp.sum((at.labels == 0).astype(jnp.float32)),
+                "num_roi_fg": jnp.sum((pt.labels > 0).astype(jnp.float32)),
+            }
+            return rpn_cls, rpn_reg, roi_feats, pt, counts
 
-        rpn_cls, rpn_reg, roi_feats, pt = jax.vmap(per_image)(
+        rpn_cls, rpn_reg, roi_feats, pt, counts = jax.vmap(per_image)(
             feats, score_map, bbox_map, image_hw, gt_boxes, gt_mask, gt_labels,
             img_rngs,
         )
@@ -269,6 +280,10 @@ class FasterRCNNDetector:
         }
         total = sum(metrics.values())
         metrics["total_loss"] = total
+        # debug count series (the reference's tf_logging.debug counters,
+        # anchor_target.py:85 / region_proposal.py:78, as metrics)
+        for k, v in counts.items():
+            metrics[k] = jnp.mean(v)
         return total, metrics
 
     # ------------------------------------------------------------- debug APIs

@@ -351,9 +351,15 @@ class FPNDetector:
                 target_stds=tuple(cfg["roi_proposal_stds"]),
             )
             roi_feats = self._roi_features(p_i, pt.rois, hw_i)
-            return rpn_cls, rpn_reg, roi_feats, pt
+            counts = {
+                "num_proposals": jnp.sum(roi_valid.astype(jnp.float32)),
+                "num_rpn_fg": jnp.sum((at.labels == 1).astype(jnp.float32)),
+                "num_rpn_bg": jnp.sum((at.labels == 0).astype(jnp.float32)),
+                "num_roi_fg": jnp.sum((pt.labels > 0).astype(jnp.float32)),
+            }
+            return rpn_cls, rpn_reg, roi_feats, pt, counts
 
-        rpn_cls, rpn_reg, roi_feats, pt = jax.vmap(per_image)(
+        rpn_cls, rpn_reg, roi_feats, pt, counts = jax.vmap(per_image)(
             tuple(p_list[: self.max_level - self.min_level + 1]),
             tuple(score_list),
             tuple(bbox_list),
@@ -385,6 +391,8 @@ class FPNDetector:
         }
         total = sum(metrics.values())
         metrics["total_loss"] = total
+        for k, v in counts.items():
+            metrics[k] = jnp.mean(v)
         return total, metrics
 
     # --------------------------------------------------------------- predict

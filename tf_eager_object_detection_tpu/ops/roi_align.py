@@ -27,7 +27,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["crop_and_resize", "roi_crop_faster_rcnn", "roi_crop_fpn", "max_pool_2x2_same"]
+__all__ = [
+    "crop_and_resize",
+    "roi_crop_faster_rcnn",
+    "roi_crop_fpn",
+    "roi_align_fpcoor",
+    "max_pool_2x2_same",
+]
 
 
 def _interp_weights(lo: jnp.ndarray, hi: jnp.ndarray, size: int, crop: int) -> jnp.ndarray:
@@ -116,6 +122,45 @@ def roi_crop_faster_rcnn(
         crops = crop_and_resize(features, boxes, pool_size * 2)
         return max_pool_2x2_same(crops)
     return crop_and_resize(features, boxes, pool_size)
+
+
+def roi_align_fpcoor(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    extractor_stride: int,
+    pool_size: int,
+) -> jnp.ndarray:
+    """Tensorpack-style RoIAlign (`RoiPoolingRoiAlign` + fpcoor
+    `crop_and_resize` + avg-pool, roi_pooling.py:93-177).
+
+    Floating-point-coordinate boxes: symmetric 1-px border pad, the fpcoor ->
+    crop_and_resize transform (sample centers at x0 + spacing*(i+0.5) - 0.5),
+    2x sampling then 2x2 average pool. features: [H', W', C]; rois: [N, 4]
+    xyxy pixels on the input image.
+    """
+    r = jax.lax.stop_gradient(rois) / float(extractor_stride)
+    # symmetric border pad (roi_pooling.py:100-103); boxes shift by +1
+    padded = jnp.pad(features, ((1, 1), (1, 1), (0, 0)), mode="symmetric")
+    h, w = padded.shape[0], padded.shape[1]
+    x0, y0, x1, y1 = r[:, 0] + 1.0, r[:, 1] + 1.0, r[:, 2] + 1.0, r[:, 3] + 1.0
+
+    crop = pool_size * 2
+    spacing_w = (x1 - x0) / crop
+    spacing_h = (y1 - y0) / crop
+    nx0 = (x0 + spacing_w / 2 - 0.5) / (w - 1.0)
+    ny0 = (y0 + spacing_h / 2 - 0.5) / (h - 1.0)
+    nw = spacing_w * (crop - 1.0) / (w - 1.0)
+    nh = spacing_h * (crop - 1.0) / (h - 1.0)
+    boxes = jnp.stack([ny0, nx0, ny0 + nh, nx0 + nw], axis=1)
+    crops = crop_and_resize(padded, boxes, crop)
+    return jax.lax.reduce_window(
+        crops,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="SAME",
+    ) / 4.0
 
 
 def roi_crop_fpn(
