@@ -82,3 +82,18 @@ def test_fpn_im_detect():
     )
     assert sm.shape == (64, 21) and deltas.shape == (64, 21, 4)
     assert rois.shape == (64, 4)
+
+
+def test_fpn_slim_backbone_variant():
+    cfg = _small_cfg()
+    cfg["tpu_fpn_backbone_style"] = "slim"
+    det = model_factory("fpn", "resnet50", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    layers = params["extractor"]
+    # slim stack: conv2_block1 has a projection shortcut, later blocks don't
+    assert "conv2_block1_0_conv" in layers
+    assert "conv2_block2_0_conv" not in layers
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.randn(128, 128, 3).astype(np.float32))
+    out = det.predict(params, image, jnp.asarray([128, 128], jnp.int32))
+    assert np.isfinite(np.asarray(out.boxes)).all()

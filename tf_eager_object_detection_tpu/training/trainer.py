@@ -27,7 +27,36 @@ from tf_eager_object_detection_tpu.training.train_step import (
     make_train_step,
 )
 
-__all__ = ["Trainer"]
+__all__ = ["Trainer", "prefetch"]
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Run the host-side batch pipeline ahead of the device.
+
+    jax dispatch is async, but the host must still decode/pad the next batch;
+    a small background-thread queue overlaps that work with device compute
+    (the tf.data prefetch analogue, pascal_tf_dataset_generator.py:101).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    done = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        yield item
 
 
 class Trainer:
@@ -120,6 +149,7 @@ class Trainer:
             pass  # visualization must never break training
 
     def train(self, batches: Iterator[dict], epochs: int, steps_per_epoch: int):
+        batches = prefetch(batches)
         for epoch in range(epochs):
             print(f"epoch {epoch + 1}/{epochs}")
             self.train_one_epoch(batches, steps_per_epoch)
