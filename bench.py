@@ -72,12 +72,17 @@ def main():
         gt_labels[i, :n] = rng.randint(1, 21, n)
     batch = (images, image_hw, jnp.asarray(gt), jnp.asarray(gt_mask), jnp.asarray(gt_labels))
 
-    # compile + warmup
+    # compile + warmup. NOTE: on this remote-TPU backend
+    # jax.block_until_ready does NOT actually wait for execution (verified:
+    # a 66-TFLOP matmul chain "completes" in 0.1 ms under it). The only
+    # reliable sync is a device->host transfer, so the step returns a
+    # `probe` scalar that transitively depends on every updated parameter
+    # and we force it to host with float().
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["probe"])
     for i in range(3):
         state, metrics = step(state, batch, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["probe"])
 
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
     if profile_dir:
@@ -86,7 +91,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step(state, batch, jax.random.PRNGKey(i + 10))
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["probe"])  # device->host sync (see note above)
     dt = time.perf_counter() - t0
     if profile_dir:
         jax.profiler.stop_trace()

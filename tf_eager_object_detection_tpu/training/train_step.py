@@ -10,6 +10,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 __all__ = ["make_train_step", "TrainState"]
@@ -39,6 +40,12 @@ def make_train_step(detector, optimizer):
         (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # scalar depending on every updated parameter: fetching it to host is
+        # the only reliable way to await step completion on backends where
+        # block_until_ready returns early (see bench.py)
+        metrics["probe"] = sum(
+            jnp.sum(x) for x in jax.tree_util.tree_leaves(params)
+        )
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
