@@ -24,7 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["non_max_suppression", "nms_keep_mask"]
+__all__ = ["non_max_suppression", "nms_keep_mask", "nms_alive_sorted"]
 
 
 def _nms_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
@@ -79,12 +79,19 @@ def nms_keep_mask(
     rank) are cleared.
     """
     k = boxes.shape[0]
-    k_pad = -(-k // block) * block
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     scores = jnp.where(valid, scores, neg_inf)
     order = jnp.argsort(-scores, stable=True).astype(jnp.int32)  # [k]
-    sboxes = boxes[order]
-    salive = valid[order]
+    alive = _nms_alive_sorted_xla(
+        boxes[order], valid[order], iou_threshold, max_output, block
+    )
+    return alive, order
+
+
+def _nms_alive_sorted_xla(sboxes, salive, iou_threshold, max_output: int, block: int):
+    """Blockwise suppression over score-sorted boxes -> alive [K] bool."""
+    k = sboxes.shape[0]
+    k_pad = -(-k // block) * block
     if k_pad != k:
         sboxes = jnp.pad(sboxes, ((0, k_pad - k), (0, 0)))
         salive = jnp.pad(salive, (0, k_pad - k))
@@ -125,7 +132,34 @@ def nms_keep_mask(
     # Clear survivors beyond max_output by kept-rank.
     rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
     alive = alive & (rank < max_output)
-    return alive[:k], order
+    return alive[:k]
+
+
+def nms_alive_sorted(
+    sorted_boxes: jnp.ndarray,
+    sorted_valid: jnp.ndarray,
+    iou_threshold,
+    max_output: int,
+    block: int = 256,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """NMS over boxes ALREADY in score-descending order -> alive [K] bool.
+
+    Lets callers that sorted for other reasons (pre-NMS top-k) skip the
+    second sort the classic formulation pays.
+    """
+    k = sorted_boxes.shape[0]
+    if _use_pallas(impl, k):
+        from tf_eager_object_detection_tpu.ops.pallas.nms_pallas import (
+            pallas_nms_alive,
+        )
+
+        return pallas_nms_alive(
+            sorted_boxes, sorted_valid, iou_threshold, max_output, block=128
+        )
+    return _nms_alive_sorted_xla(
+        sorted_boxes, sorted_valid, iou_threshold, max_output, block
+    )
 
 
 # Box count at and above which the fused Pallas kernel beats the XLA path on

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from tf_eager_object_detection_tpu.core.boxes import clip_boxes
 from tf_eager_object_detection_tpu.core.transforms import decode_boxes
-from tf_eager_object_detection_tpu.ops.nms import non_max_suppression
+from tf_eager_object_detection_tpu.ops.nms import nms_alive_sorted
 
 __all__ = ["region_proposal"]
 
@@ -43,17 +43,24 @@ def region_proposal(
     decoded = jax.lax.stop_gradient(decoded)
     scores = jax.lax.stop_gradient(scores)
 
-    valid = anchor_valid
-    if num_pre_nms is not None and num_pre_nms < decoded.shape[0]:
-        masked = jnp.where(valid, scores, -jnp.inf)
-        top_scores, top_idx = jax.lax.top_k(masked, num_pre_nms)
-        decoded = decoded[top_idx]
-        scores = top_scores
-        valid = top_scores > -jnp.inf
+    # ONE sort covers both the pre-NMS top-k and NMS's score ordering:
+    # sorting all anchors descending and taking the first num_pre_nms rows is
+    # exactly top-k, and the prefix is already in NMS processing order.
+    # (TPU sorts dominate this op's cost; the naive top_k-then-sort-again
+    # formulation pays twice.)
+    masked = jnp.where(anchor_valid, scores, -jnp.inf)
+    order = jnp.argsort(-masked, stable=True).astype(jnp.int32)
+    k = decoded.shape[0]
+    if num_pre_nms is not None and num_pre_nms < k:
+        order = order[:num_pre_nms]
+    sboxes = decoded[order]
+    svalid = masked[order] > -jnp.inf
 
-    idx, out_valid = non_max_suppression(
-        decoded, scores, valid, num_post_nms, nms_iou_threshold
+    alive = nms_alive_sorted(
+        sboxes, svalid, nms_iou_threshold, num_post_nms
     )
-    rois = decoded[idx]
+    (pos,) = jnp.nonzero(alive, size=num_post_nms, fill_value=order.shape[0])
+    out_valid = pos < order.shape[0]
+    rois = sboxes[jnp.minimum(pos, order.shape[0] - 1)]
     rois = jnp.where(out_valid[:, None], rois, 0.0)
     return rois, out_valid
