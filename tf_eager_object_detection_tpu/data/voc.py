@@ -21,8 +21,6 @@ import os
 import xml.etree.ElementTree as ET
 from typing import Dict, List, Optional
 
-import numpy as np
-
 from tf_eager_object_detection_tpu.data.label_map import pascal_label_map_dict
 from tf_eager_object_detection_tpu.data.tfrecord import TFRecordWriter, encode_example
 

@@ -10,7 +10,7 @@ against the *raw* image) / per-class NMS (on device, batched over classes)
 from __future__ import annotations
 
 import functools
-from typing import Callable, Iterable, List, Sequence
+from typing import Iterable, List, Sequence
 
 import jax
 import jax.numpy as jnp

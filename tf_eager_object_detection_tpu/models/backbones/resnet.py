@@ -20,7 +20,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from tf_eager_object_detection_tpu.models.layers import FrozenBatchNorm, max_pool_same
+from tf_eager_object_detection_tpu.models.layers import FrozenBatchNorm
 
 __all__ = [
     "ResNetBackbone",

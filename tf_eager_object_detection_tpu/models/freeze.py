@@ -10,7 +10,7 @@ regularizers having no effect on non-trainable layers).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 import jax
 
