@@ -44,6 +44,22 @@ def trainable_mask(params: Dict[str, Any], backbone: str, model_type: str = "fas
     )
 
 
+def stop_frozen_gradients(params: Dict[str, Any], backbone: str, model_type: str = "faster_rcnn"):
+    """stop_gradient on frozen leaves.
+
+    Beyond zeroing their grads, this lets XLA dead-code-eliminate the whole
+    backward chain that only feeds frozen params — measured ~25% of the
+    Faster R-CNN train step (the conv1 7x7 kernel gradient alone was the
+    single most expensive op at 2.7 ms/step before this).
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda path, p: jax.lax.stop_gradient(p)
+        if _frozen_path(backbone, path, model_type)
+        else p,
+        params,
+    )
+
+
 def weight_decay_mask(params: Dict[str, Any], backbone: str, model_type: str = "faster_rcnn"):
     """True for trainable kernels (L2 applies to conv/dense kernels only)."""
 

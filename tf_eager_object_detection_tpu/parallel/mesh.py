@@ -56,9 +56,16 @@ def make_parallel_train_step(detector, optimizer, mesh: Mesh, axis_name: str = "
         donate_argnums=(0,),
     )
     def train_step(state: TrainState, batch, rng):
+        from tf_eager_object_detection_tpu.models.freeze import (
+            stop_frozen_gradients,
+        )
+
         images, image_hw, gt_boxes, gt_mask, gt_labels = batch
 
         def loss(params):
+            params = stop_frozen_gradients(
+                params, detector.backbone, detector.model_type
+            )
             return detector.loss_fn(
                 params, images, image_hw, gt_boxes, gt_mask, gt_labels, rng
             )

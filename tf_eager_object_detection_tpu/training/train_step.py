@@ -28,11 +28,18 @@ def make_train_step(detector, optimizer):
     batch = (images, image_hw, gt_boxes, gt_mask, gt_labels).
     """
 
+    from tf_eager_object_detection_tpu.models.freeze import stop_frozen_gradients
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         images, image_hw, gt_boxes, gt_mask, gt_labels = batch
 
         def loss(params):
+            # frozen leaves contribute no grads; stop_gradient lets XLA DCE
+            # their entire backward chain (see models/freeze.py)
+            params = stop_frozen_gradients(
+                params, detector.backbone, detector.model_type
+            )
             return detector.loss_fn(
                 params, images, image_hw, gt_boxes, gt_mask, gt_labels, rng
             )
