@@ -47,8 +47,13 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
         try:
             for item in iterator:
                 q.put(item)
+        except Exception:
+            pass  # interpreter teardown can GC modules under our feet
         finally:
-            q.put(done)
+            try:
+                q.put(done)
+            except Exception:
+                pass
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
