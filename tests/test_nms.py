@@ -90,3 +90,18 @@ def test_nms_block_boundary():
     )
     got = np.asarray(idx)[np.asarray(valid)]
     np.testing.assert_array_equal(got, want)
+
+
+def test_nms_alive_sorted_matches_unsorted_path():
+    from tf_eager_object_detection_tpu.ops.nms import nms_alive_sorted
+
+    rng = np.random.RandomState(5)
+    boxes = _rand(rng, 200)
+    scores = rng.uniform(0, 1, 200).astype(np.float32)
+    order = np.argsort(-scores, kind="stable")
+    alive = np.asarray(
+        nms_alive_sorted(jnp.asarray(boxes[order]), jnp.ones(200, bool), 0.5, 80)
+    )
+    got = sorted(order[alive].tolist())
+    want = sorted(_tf_nms(boxes, scores, 80, 0.5).tolist())
+    assert got == want
