@@ -26,7 +26,7 @@ def main():
     # Persistent compilation cache: repeat benchmark runs skip the multi-minute
     # XLA compile (first run still pays it).
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
     import numpy as np
 

@@ -50,7 +50,7 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     from tf_eager_object_detection_tpu.config.config_factory import config_factory
     from tf_eager_object_detection_tpu.data.dataset_factory import dataset_factory
     from tf_eager_object_detection_tpu.models.model_factory import model_factory
