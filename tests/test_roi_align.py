@@ -116,3 +116,22 @@ def test_gradient_flows_to_features_not_boxes():
 
     g = jax.grad(loss)(feat)
     assert np.asarray(g).sum() > 0
+
+
+def test_crop_and_resize_gather_path_matches_tf():
+    """Large feature maps take the gather path; semantics must not change."""
+    rng = np.random.RandomState(4)
+    feat = rng.randn(96, 128, 8).astype(np.float32)  # 12288 cells > threshold
+    boxes = np.array(
+        [
+            [0.05, 0.1, 0.6, 0.9],
+            [0.0, 0.0, 1.0, 1.0],
+            [-0.2, 0.4, 0.5, 1.3],
+            [0.7, 0.7, 0.2, 0.2],
+        ],
+        np.float32,
+    )
+    for size in (7, 14):
+        want = _tf_crop(feat, boxes, size)
+        got = np.asarray(crop_and_resize(jnp.asarray(feat), jnp.asarray(boxes), size))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

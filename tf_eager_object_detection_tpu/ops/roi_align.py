@@ -36,6 +36,9 @@ __all__ = [
 ]
 
 
+_EDGE_EPS = 1e-3  # see _interp_weights
+
+
 def _interp_weights(lo: jnp.ndarray, hi: jnp.ndarray, size: int, crop: int) -> jnp.ndarray:
     """Bilinear sampling weights [N, crop, size] for TF crop_and_resize.
 
@@ -49,10 +52,68 @@ def _interp_weights(lo: jnp.ndarray, hi: jnp.ndarray, size: int, crop: int) -> j
         )[None, :]  # [N, crop]
     else:
         coords = (0.5 * (lo + hi) * scale)[:, None]
-    in_range = (coords >= 0.0) & (coords <= scale)  # [N, crop]
+    # epsilon-tolerant bounds: under jit XLA may reassociate the coordinate
+    # arithmetic (e.g. cancel /(crop-1)*(crop-1)) so an exact-edge sample
+    # lands at scale+1e-5 and would be wrongly zeroed (worst-case
+    # disagreement with TF: 1e-3 px at a box edge)
+    in_range = (coords >= -_EDGE_EPS) & (coords <= scale + _EDGE_EPS)
+    coords = jnp.clip(coords, 0.0, scale)
     cells = jnp.arange(size, dtype=jnp.float32)[None, None, :]  # [1, 1, size]
     w = jnp.maximum(0.0, 1.0 - jnp.abs(coords[:, :, None] - cells))  # tent
     return jnp.where(in_range[:, :, None], w, 0.0)
+
+
+# Above this many feature cells the separable-matmul formulation's
+# [N, S, W, C] intermediate dominates (e.g. an FPN P2 of 160x256x256 with 256
+# rois materializes 460 MB); a 4-corner gather is cheaper there.
+_GATHER_MIN_CELLS = 4096
+
+
+def _sample_coords(lo, hi, size: int, crop: int):
+    """TF crop_and_resize sample coordinates [N, crop] + in-range mask."""
+    scale = jnp.asarray(size - 1, jnp.float32)
+    if crop > 1:
+        step = (hi - lo) * scale / (crop - 1)
+        coords = lo[:, None] * scale + step[:, None] * jnp.arange(
+            crop, dtype=jnp.float32
+        )[None, :]
+    else:
+        coords = (0.5 * (lo + hi) * scale)[:, None]
+    ok = (coords >= -_EDGE_EPS) & (coords <= scale + _EDGE_EPS)
+    return jnp.clip(coords, 0.0, scale), ok
+
+
+def _crop_gather(features: jnp.ndarray, boxes: jnp.ndarray, crop_size: int):
+    """Gather-based bilinear crop (identical semantics to the matmul path)."""
+    h, w, c = features.shape
+    ys, y_ok = _sample_coords(boxes[:, 0], boxes[:, 2], h, crop_size)  # [N,S]
+    xs, x_ok = _sample_coords(boxes[:, 1], boxes[:, 3], w, crop_size)
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs), 0, w - 1)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)[:, :, None, None]  # [N,S,1,1]
+    fx = jnp.clip(xs - x0, 0.0, 1.0)[:, None, :, None]  # [N,1,S,1]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+
+    flat = features.reshape(h * w, c)
+
+    def take(yi, xi):
+        idx = yi[:, :, None] * w + xi[:, None, :]  # [N, S, S]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+            idx.shape + (c,)
+        )
+
+    v00 = take(y0, x0)
+    v01 = take(y0, x1)
+    v10 = take(y1, x0)
+    v11 = take(y1, x1)
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    out = top * (1.0 - fy) + bot * fy
+    ok = (y_ok[:, :, None] & x_ok[:, None, :])[..., None]
+    return jnp.where(ok, out.astype(jnp.float32), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("crop_size",))
@@ -67,8 +128,13 @@ def crop_and_resize(
       crop_size: static output resolution S.
 
     Returns: [N, S, S, C] float32.
+
+    Small maps use the separable-matmul formulation (MXU); large maps (FPN
+    P2/P3) use a 4-corner gather to avoid the [N, S, W, C] intermediate.
     """
     h, w, c = features.shape
+    if h * w > _GATHER_MIN_CELLS:
+        return _crop_gather(features, boxes, crop_size)
     n = boxes.shape[0]
     wy = _interp_weights(boxes[:, 0], boxes[:, 2], h, crop_size)  # [N, S, H]
     wx = _interp_weights(boxes[:, 1], boxes[:, 3], w, crop_size)  # [N, S, W]
