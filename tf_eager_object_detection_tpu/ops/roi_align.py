@@ -63,10 +63,12 @@ def _interp_weights(lo: jnp.ndarray, hi: jnp.ndarray, size: int, crop: int) -> j
     return jnp.where(in_range[:, :, None], w, 0.0)
 
 
-# Above this many feature cells the separable-matmul formulation's
-# [N, S, W, C] intermediate dominates (e.g. an FPN P2 of 160x256x256 with 256
-# rois materializes 460 MB); a 4-corner gather is cheaper there.
-_GATHER_MIN_CELLS = 4096
+# Feature-cell count above which the 4-corner gather replaces the
+# separable-matmul formulation. Measured on v5e: the matmul path wins even at
+# FPN P2 size (160x256x256, despite its [N, S, W, C] intermediate) because
+# TPU gathers serialize; the gather path is kept for pathological maps and
+# as a memory fallback.
+_GATHER_MIN_CELLS = 1_000_000
 
 
 def _sample_coords(lo, hi, size: int, crop: int):
