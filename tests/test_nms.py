@@ -105,3 +105,16 @@ def test_nms_alive_sorted_matches_unsorted_path():
     got = sorted(order[alive].tolist())
     want = sorted(_tf_nms(boxes, scores, 80, 0.5).tolist())
     assert got == want
+
+
+def test_nms_training_scale_matches_tf():
+    """12k boxes / 2000 kept — the exact training-path NMS size."""
+    rng = np.random.RandomState(12)
+    boxes = _rand(rng, 12000, size=1000.0)
+    scores = rng.uniform(0, 1, 12000).astype(np.float32)
+    want = _tf_nms(boxes, scores, 2000, 0.7)
+    idx, valid = non_max_suppression(
+        jnp.asarray(boxes), jnp.asarray(scores), None, 2000, 0.7
+    )
+    got = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, want)
