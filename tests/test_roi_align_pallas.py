@@ -1,0 +1,141 @@
+"""Windowed Pallas RoIAlign: golden vs the einsum path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tf_eager_object_detection_tpu.ops.roi_align import crop_and_resize
+from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
+    pallas_roi_align_window,
+)
+
+
+def _ref_crops(feat, rois, ih, iw, size):
+    boxes = np.stack(
+        [rois[:, 1] / ih, rois[:, 0] / iw, rois[:, 3] / ih, rois[:, 2] / iw],
+        axis=1,
+    )
+    return np.asarray(crop_and_resize(jnp.asarray(feat), jnp.asarray(boxes), size))
+
+
+def test_pallas_roi_align_matches_einsum():
+    rng = np.random.RandomState(0)
+    h, w, c = 100, 160, 16
+    ih, iw = 400.0, 640.0
+    feat = rng.randn(h, w, c).astype(np.float32)
+    rois = np.array(
+        [
+            [10.0, 20.0, 90.0, 100.0],
+            [300.0, 200.0, 340.0, 260.0],
+            [600.0, 380.0, 639.0, 399.0],  # bottom-right corner
+            [5.0, 5.0, 5.0, 5.0],  # degenerate point
+            [-20.0, -10.0, 50.0, 60.0],  # partially outside the image
+            [500.0, 300.0, 560.0, 370.0],
+        ],
+        np.float32,
+    )
+    active = np.ones(len(rois), np.int32)
+    got = np.asarray(
+        pallas_roi_align_window(
+            jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(active),
+            ih, iw, 14, interpret=True,
+        )
+    )
+    want = _ref_crops(feat, rois, ih, iw, 14)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_roi_align_inactive_rois_are_zero():
+    rng = np.random.RandomState(1)
+    feat = rng.randn(80, 80, 8).astype(np.float32)
+    rois = np.array([[10.0, 10.0, 60.0, 60.0], [20.0, 20.0, 70.0, 70.0]], np.float32)
+    got = np.asarray(
+        pallas_roi_align_window(
+            jnp.asarray(feat), jnp.asarray(rois),
+            jnp.asarray([0, 1], np.int32), 320.0, 320.0, 14, interpret=True,
+        )
+    )
+    assert np.abs(got[0]).max() == 0.0
+    assert np.abs(got[1]).max() > 0.0
+
+
+def test_pallas_roi_align_batched_row_folding():
+    """Batched form must equal per-image single calls (window origins must
+    stay inside each image's folded row span)."""
+    rng = np.random.RandomState(2)
+    b, h, w, c = 3, 70, 90, 8
+    ih = np.array([280.0, 260.0, 275.0], np.float32)
+    iw = np.array([360.0, 340.0, 355.0], np.float32)
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    rois = rng.uniform(0, 250, size=(b, 5, 4)).astype(np.float32)
+    rois[..., 2:] = rois[..., :2] + np.abs(rois[..., 2:] - rois[..., :2])
+    active = (rng.rand(b, 5) > 0.3).astype(np.int32)
+    got = np.asarray(
+        pallas_roi_align_window(
+            jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(active),
+            jnp.asarray(ih), jnp.asarray(iw), 14, interpret=True,
+        )
+    )
+    for i in range(b):
+        want = np.asarray(
+            pallas_roi_align_window(
+                jnp.asarray(feat[i]), jnp.asarray(rois[i]), jnp.asarray(active[i]),
+                ih[i], iw[i], 14, interpret=True,
+            )
+        )
+        # coords carry a +row_base offset in the batched form, so weights
+        # differ by a few f32 ULPs from the single-image call
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+
+def test_fpn_predict_pallas_matches_einsum():
+    """End-to-end FPN predict: pallas RoIAlign == einsum RoIAlign.
+
+    At the test's 128x128 image every pyramid map is <= 64 cells so the
+    window covers the whole (padded) map — no truncation, exact match.
+    """
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+
+    cfg = dict(config_factory("pascal", "fpn"))
+    cfg.update(
+        {
+            "rpn_proposal_test_pre_nms_sample_number": 256,
+            "rpn_proposal_test_after_nms_sample_number": 32,
+            "roi_total_sample_number": 32,
+            "max_objects_per_image": 10,
+            "max_objects_per_class_per_image": 10,
+            "tpu_image_buckets": [[128, 128]],
+        }
+    )
+    rng = np.random.RandomState(3)
+    image = jnp.asarray(rng.randn(128, 128, 3).astype(np.float32))
+    hw = jnp.asarray([128, 128], jnp.int32)
+
+    det = model_factory("fpn", "resnet50", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    out_einsum = det.predict(params, image, hw)
+
+    cfg2 = dict(cfg)
+    cfg2["tpu_roi_align_impl"] = "pallas_interpret"
+    det2 = model_factory("fpn", "resnet50", cfg2)
+    out_pallas = det2.predict(params, image, hw)
+
+    np.testing.assert_allclose(
+        np.asarray(out_pallas.scores), np.asarray(out_einsum.scores),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pallas.boxes), np.asarray(out_einsum.boxes),
+        rtol=1e-4, atol=1e-3,
+    )
+
+    # batched detection path (uses _roi_features_batched)
+    sm1, d1, r1, v1 = det.im_detect_batch(
+        params, image[None], hw[None], jnp.asarray([1.0])
+    )
+    sm2, d2, r2, v2 = det2.im_detect_batch(
+        params, image[None], hw[None], jnp.asarray([1.0])
+    )
+    np.testing.assert_allclose(np.asarray(sm2), np.asarray(sm1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))

@@ -39,7 +39,10 @@ from tf_eager_object_detection_tpu.models.heads import RpnHead
 from tf_eager_object_detection_tpu.ops.losses import cls_loss, smooth_l1_loss
 from tf_eager_object_detection_tpu.ops.prediction import Detections, post_ops_prediction
 from tf_eager_object_detection_tpu.ops.region_proposal import region_proposal
-from tf_eager_object_detection_tpu.ops.roi_align import roi_crop_fpn
+from tf_eager_object_detection_tpu.ops.roi_align import (
+    max_pool_2x2_same,
+    roi_crop_fpn,
+)
 from tf_eager_object_detection_tpu.ops.sampling import anchor_target, proposal_target
 
 __all__ = ["FPNDetector", "ResnetFpnNeck", "FpnRoiHead", "resize_bilinear_tf1"]
@@ -279,16 +282,45 @@ class FPNDetector:
             target_stds=cfg["rpn_proposal_stds"],
         )
 
+    def _roi_levels(self, rois):
+        """Pyramid level per roi: floor(4 + log2(sqrt(wh)/224)) clamped
+        (base_fpn_model.py:309-313). rois: [..., 4] xyxy."""
+        wq = jnp.maximum(0.0, rois[..., 2] - rois[..., 0])
+        hq = jnp.maximum(0.0, rois[..., 3] - rois[..., 1])
+        levels = jnp.floor(4.0 + jnp.log2(jnp.sqrt(wq * hq + 1e-8) / 224.0))
+        return jnp.clip(levels, self.min_level, self.max_level).astype(jnp.int32)
+
+    def _use_pallas_roi_align(self) -> bool:
+        impl = self.cfg.get("tpu_roi_align_impl", "einsum")
+        if impl == "auto":
+            return jax.default_backend() == "tpu"
+        return impl in ("pallas", "pallas_interpret")
+
+    def _pallas_interpret(self) -> bool:
+        return self.cfg.get("tpu_roi_align_impl") == "pallas_interpret"
+
     def _roi_features(self, p_list_i, rois, image_hw):
         """Level-assigned RoIAlign via one-hot select over levels.
 
         p_list_i: per-level [h, w, c] maps for ONE image (p2..p5 used).
+        NOTE: only safe under jax.vmap on the einsum path; batched callers
+        on the pallas path must use `_roi_features_batched`.
         """
-        x1, y1, x2, y2 = rois[:, 0], rois[:, 1], rois[:, 2], rois[:, 3]
-        wq = jnp.maximum(0.0, x2 - x1)
-        hq = jnp.maximum(0.0, y2 - y1)
-        levels = jnp.floor(4.0 + jnp.log2(jnp.sqrt(wq * hq + 1e-8) / 224.0))
-        levels = jnp.clip(levels, self.min_level, self.max_level).astype(jnp.int32)
+        levels = self._roi_levels(rois)
+        if self._use_pallas_roi_align():
+            from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
+                pallas_roi_align_window,
+            )
+
+            s2 = 2 * self.cfg["roi_pooling_size"]
+            total = 0.0
+            for i, lvl in enumerate(range(self.min_level, self.max_level + 1)):
+                total = total + pallas_roi_align_window(
+                    p_list_i[i], rois, levels == lvl,
+                    image_hw[0], image_hw[1], s2,
+                    interpret=self._pallas_interpret(),
+                )
+            return max_pool_2x2_same(total)
         feats = 0.0
         for i, lvl in enumerate(range(self.min_level, self.max_level + 1)):
             crop = roi_crop_fpn(
@@ -300,6 +332,33 @@ class FPNDetector:
             )
         return feats
 
+    def _roi_features_batched(self, p_list, rois, image_hw):
+        """Batched level-assigned RoIAlign.
+
+        p_list: per-level [B, h, w, c]; rois: [B, N, 4]; image_hw: [B, 2].
+        Returns [B, N, ps, ps, C]. The pallas kernel cannot be vmapped
+        (scalar prefetch + manual DMA), so it takes the batch directly via
+        row folding; the einsum path is vmapped as before.
+        """
+        if not self._use_pallas_roi_align():
+            return jax.vmap(self._roi_features)(tuple(p_list), rois, image_hw)
+        from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
+            pallas_roi_align_window,
+        )
+
+        levels = self._roi_levels(rois)  # [B, N]
+        s2 = 2 * self.cfg["roi_pooling_size"]
+        total = 0.0
+        for i, lvl in enumerate(range(self.min_level, self.max_level + 1)):
+            total = total + pallas_roi_align_window(
+                p_list[i], rois, levels == lvl,
+                image_hw[:, 0], image_hw[:, 1], s2,
+                interpret=self._pallas_interpret(),
+            )
+        b, n = total.shape[:2]
+        pooled = max_pool_2x2_same(total.reshape((b * n,) + total.shape[2:]))
+        return pooled.reshape((b, n) + pooled.shape[1:])
+
     # ------------------------------------------------------------------ loss
     def loss_fn(self, params, images, image_hw, gt_boxes, gt_mask, gt_labels, rng):
         cfg = self.cfg
@@ -309,7 +368,7 @@ class FPNDetector:
         anchors = self.anchors_for_grids(grids)
         rngs = jax.random.split(rng, b)
 
-        def per_image(p_i, score_i, bbox_i, hw_i, gt_i, gtm_i, gtl_i, rng_i):
+        def per_image(score_i, bbox_i, hw_i, gt_i, gtm_i, gtl_i, rng_i):
             r_at, r_pt = jax.random.split(rng_i)
             scores2, deltas = self._flatten_levels(score_i, bbox_i)
             avalid = self._level_valid_mask(grids, hw_i)
@@ -350,17 +409,15 @@ class FPNDetector:
                 target_means=tuple(cfg["roi_proposal_means"]),
                 target_stds=tuple(cfg["roi_proposal_stds"]),
             )
-            roi_feats = self._roi_features(p_i, pt.rois, hw_i)
             counts = {
                 "num_proposals": jnp.sum(roi_valid.astype(jnp.float32)),
                 "num_rpn_fg": jnp.sum((at.labels == 1).astype(jnp.float32)),
                 "num_rpn_bg": jnp.sum((at.labels == 0).astype(jnp.float32)),
                 "num_roi_fg": jnp.sum((pt.labels > 0).astype(jnp.float32)),
             }
-            return rpn_cls, rpn_reg, roi_feats, pt, counts
+            return rpn_cls, rpn_reg, pt, counts
 
-        rpn_cls, rpn_reg, roi_feats, pt, counts = jax.vmap(per_image)(
-            tuple(p_list[: self.max_level - self.min_level + 1]),
+        rpn_cls, rpn_reg, pt, counts = jax.vmap(per_image)(
             tuple(score_list),
             tuple(bbox_list),
             image_hw,
@@ -368,6 +425,11 @@ class FPNDetector:
             gt_mask,
             gt_labels,
             rngs,
+        )
+        roi_feats = self._roi_features_batched(
+            tuple(p_list[: self.max_level - self.min_level + 1]),
+            pt.rois,
+            image_hw,
         )
         s = cfg["roi_total_sample_number"]
         roi_feats = roi_feats.reshape((b * s,) + roi_feats.shape[2:])
@@ -396,13 +458,18 @@ class FPNDetector:
         return total, metrics
 
     # --------------------------------------------------------------- predict
-    def _roi_forward(self, params, p_list_i, score_list_i, bbox_list_i, image_hw):
-        grids = tuple((p.shape[0], p.shape[1]) for p in p_list_i)
+    def _rois_for_image(self, score_list_i, bbox_list_i, grids, image_hw):
         anchors = self.anchors_for_grids(grids)
         scores2, deltas = self._flatten_levels(score_list_i, bbox_list_i)
         avalid = self._level_valid_mask(grids, image_hw)
-        rois, roi_valid = self._proposals(
+        return self._proposals(
             scores2, deltas, anchors, avalid, image_hw, training=False
+        )
+
+    def _roi_forward(self, params, p_list_i, score_list_i, bbox_list_i, image_hw):
+        grids = tuple((p.shape[0], p.shape[1]) for p in p_list_i)
+        rois, roi_valid = self._rois_for_image(
+            score_list_i, bbox_list_i, grids, image_hw
         )
         roi_feats = self._roi_features(
             p_list_i[: self.max_level - self.min_level + 1], rois, image_hw
@@ -442,22 +509,32 @@ class FPNDetector:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def im_detect_batch(self, params, images, image_hw, scales):
-        """Batched im_detect (batched backbone/neck + vmapped RoI path)."""
+        """Batched im_detect: batched backbone/neck, vmapped proposal path,
+        then one batched RoIAlign + head (pallas-compatible, see
+        `_roi_features_batched`)."""
         p_list, score_list, bbox_list = self._backbone_neck_rpn(params, images)
+        grids = tuple((p.shape[1], p.shape[2]) for p in p_list)
 
-        def one(p_i, score_i, bbox_i, hw_i, scale_i):
-            rois, roi_valid, roi_softmax, roi_deltas = self._roi_forward(
-                params, list(p_i), list(score_i), list(bbox_i), hw_i
-            )
-            return (
-                roi_softmax,
-                roi_deltas.reshape(-1, self.num_classes, 4),
-                rois / scale_i,
-                roi_valid,
-            )
+        def one(score_i, bbox_i, hw_i):
+            return self._rois_for_image(list(score_i), list(bbox_i), grids, hw_i)
 
-        return jax.vmap(one)(
-            tuple(p_list), tuple(score_list), tuple(bbox_list), image_hw, scales
+        rois, roi_valid = jax.vmap(one)(
+            tuple(score_list), tuple(bbox_list), image_hw
+        )
+        roi_feats = self._roi_features_batched(
+            tuple(p_list[: self.max_level - self.min_level + 1]), rois, image_hw
+        )
+        b, n = roi_feats.shape[:2]
+        roi_scores, roi_deltas = self.roi_head.apply(
+            {"params": params["roi_head"]},
+            roi_feats.reshape((b * n,) + roi_feats.shape[2:]),
+            train=False,
+        )
+        return (
+            jax.nn.softmax(roi_scores, -1).reshape(b, n, -1),
+            roi_deltas.reshape(b, n, self.num_classes, 4),
+            rois / scales[:, None, None],
+            roi_valid,
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))

@@ -1,0 +1,220 @@
+"""Pallas TPU kernel: windowed RoIAlign for large FPN feature maps.
+
+Motivation (measured on v5e, BENCHLOG.md): the separable-matmul
+crop_and_resize on an FPN P2 map (160x256x256) does ~147M MACs *per roi*
+([S, H] @ [H, W*C]) plus a [N, S, W, C] HBM intermediate, and a gather
+variant measured slower still (TPU gathers serialize). This kernel instead
+DMAs a fixed 64-cell window around each roi from HBM into VMEM and
+interpolates with two small MXU matmuls ([S, 64] @ [64, 64*C] then a
+batched [S, 64] x [64, C]) — ~25x less compute and a constant working set.
+Rois not assigned to this pyramid level (`active == 0`) skip the DMA and
+the matmuls entirely and just write zeros, so a 4-level one-hot RoIAlign
+pays for each roi's window exactly once across the pyramid.
+
+Sampling semantics match `roi_crop_fpn` / TF `tf.image.crop_and_resize`
+(reference: object_detection/model/roi_pooling.py:8-42) EXCEPT that sample
+points farther than WINDOW-1 cells from the roi's min corner contribute
+zero. FPN's level assignment (base_fpn_model.py:309-313) bounds assigned-roi
+spans: level l gets sqrt(w*h) < 224 * 2^(l-3.5), i.e. <= 40 cells at that
+level's stride for aspect ratios up to ~10, so the 64-cell window is exact
+for everything but degenerate hyper-elongated proposals (opt-in via config
+`tpu_roi_align_impl = 'pallas'`; the default einsum path has no such bound).
+
+Batching: jax.vmap cannot batch a pallas_call that uses scalar prefetch +
+manual DMA, so batch is folded into the row dimension instead — the [B, Hp,
+Wp, C] pyramid level is viewed as one [B*Hp, Wp*C] plane and each roi's
+window origin is offset by its image's row base (windows are clamped inside
+their own image, so they never straddle two images).
+
+Lowering notes: window origins are data-dependent, which BlockSpec index
+maps cannot express (they are block-granular), so the window is fetched with
+an explicit `pltpu.make_async_copy` from an ANY-space ref using
+scalar-prefetched per-roi origins; all in-kernel math is 2D/batched-3D
+matmul-and-broadcast only (no value-level dynamic slices — Mosaic won't
+lower those, see nms_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_roi_align_window", "WINDOW"]
+
+WINDOW = 64  # feature cells per side DMA'd for each roi
+
+
+def _kernel(
+    sy8_ref,
+    sxa_ref,
+    active_ref,
+    coords_ref,
+    feat_ref,
+    out_ref,
+    win_ref,
+    sem,
+    *,
+    crop: int,
+    c: int,
+    lane_align: int,
+):
+    """One roi per grid step.
+
+    sy8/sxa/active: scalar-prefetch [BN] int32 — window origin row / 8
+    (including the image's row base) and origin col / lane_align, plus the
+    level one-hot. Origins arrive pre-divided and are re-multiplied here so
+    Mosaic can prove the DMA slice start is tile-aligned (it cannot prove
+    divisibility of an opaque scalar). coords_ref: [1, 2, crop] VMEM
+    absolute sample coords (y row incl. base; x). feat_ref: [B*Hp, Wp*C] in
+    HBM. out_ref: [1, crop, crop*C] VMEM. win_ref: [WINDOW, WINDOW*C] VMEM
+    scratch; sem: DMA semaphore.
+    """
+    i = pl.program_id(0)
+    sy = sy8_ref[i] * 8
+    sx = sxa_ref[i] * lane_align
+
+    @pl.when(active_ref[i] == 0)
+    def _skip():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(active_ref[i] != 0)
+    def _compute():
+        copy = pltpu.make_async_copy(
+            feat_ref.at[
+                pl.ds(sy8_ref[i] * 8, WINDOW),
+                pl.ds(sxa_ref[i] * (lane_align * c), WINDOW * c),
+            ],
+            win_ref,
+            sem,
+        )
+        copy.start()
+        copy.wait()
+
+        ys = coords_ref[0, 0:1, :] - sy.astype(jnp.float32)  # [1, crop]
+        xs = coords_ref[0, 1:2, :] - sx.astype(jnp.float32)
+        # Mosaic only lowers integer iota
+        cells = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1).astype(
+            jnp.float32
+        )
+        # tent weights [crop, WINDOW]; out-of-window samples get zero rows
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.transpose(ys) - cells))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.transpose(xs) - cells))
+
+        rows = jnp.dot(
+            wy, win_ref[:, :], preferred_element_type=jnp.float32
+        )  # [crop, WINDOW*C], y-interpolation done
+        rows3 = rows.reshape(crop, WINDOW, c)
+        # x-interpolation as a batched matmul over the crop rows:
+        # for each y: [crop, WINDOW] @ [WINDOW, C] -> [crop, C]
+        wxb = jnp.broadcast_to(wx[None], (crop, crop, WINDOW))
+        out = jax.lax.dot_general(
+            wxb,
+            rows3,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [y, x, C]
+        out_ref[0] = out.reshape(crop, crop * c)
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "interpret"))
+def pallas_roi_align_window(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    active: jnp.ndarray,
+    image_height,
+    image_width,
+    crop_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """FPN-style RoIAlign (roi_crop_fpn sampling) via the windowed kernel.
+
+    features: [B, H, W, C] (or [H, W, C]); rois: [B, N, 4] (or [N, 4]) xyxy
+    pixels on the image; active: [B, N] bool/int — rois with active == 0
+    return all-zero crops without touching HBM; image_height/width: [B] (or
+    scalars), the per-image *valid* extent used for normalization.
+    Returns [B, N, S, S, C] (or [N, S, S, C]) f32, S = crop_size.
+    """
+    single = features.ndim == 3
+    if single:
+        features = features[None]
+        rois = rois[None]
+        active = jnp.asarray(active)[None]
+    b, h, w, c = features.shape
+    n = rois.shape[1]
+    s = crop_size
+    r = jax.lax.stop_gradient(rois)
+    ih = jnp.broadcast_to(jnp.asarray(image_height, jnp.float32), (b,))
+    iw = jnp.broadcast_to(jnp.asarray(image_width, jnp.float32), (b,))
+    # TF crop_and_resize sampling rule on boxes normalized by image shape
+    y1 = r[:, :, 1] / ih[:, None] * (h - 1)
+    y2 = r[:, :, 3] / ih[:, None] * (h - 1)
+    x1 = r[:, :, 0] / iw[:, None] * (w - 1)
+    x2 = r[:, :, 2] / iw[:, None] * (w - 1)
+
+    idx = jnp.arange(s, dtype=jnp.float32)
+    ys = y1[..., None] + (y2 - y1)[..., None] * idx / (s - 1)  # [B, N, S]
+    xs = x1[..., None] + (x2 - x1)[..., None] * idx / (s - 1)
+    # TF zeroes whole samples outside the map; push those coords far out so
+    # their tent weights vanish (epsilon-tolerant bounds as in roi_align.py)
+    eps = 1e-3
+    y_bad = (ys < -eps) | (ys > (h - 1) + eps)
+    x_bad = (xs < -eps) | (xs > (w - 1) + eps)
+    ys = jnp.where(y_bad, -1e9, jnp.clip(ys, 0.0, h - 1))
+    xs = jnp.where(x_bad, -1e9, jnp.clip(xs, 0.0, w - 1))
+
+    # pad so a WINDOW-sized window always fits inside each image's rows;
+    # hp is rounded to the 8-row sublane tile so per-image row bases (b * hp)
+    # keep DMA origins 8-aligned
+    hp = -(-max(h, WINDOW) // 8) * 8
+    wp = max(w, WINDOW)
+    if (hp, wp) != (h, w):
+        features = jnp.pad(features, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    feat2d = features.reshape(b * hp, wp * c)
+
+    # per-roi window origin: floor of the smallest in-range sample coord,
+    # clamped inside this image's row span of the folded plane
+    ymin = jnp.min(jnp.where(y_bad, jnp.inf, ys), axis=-1)
+    xmin = jnp.min(jnp.where(x_bad, jnp.inf, xs), axis=-1)
+    row_base = (jnp.arange(b, dtype=jnp.float32) * hp)[:, None]
+    sy = jnp.clip(jnp.floor(jnp.where(jnp.isfinite(ymin), ymin, 0.0)), 0, hp - WINDOW)
+    sx = jnp.clip(jnp.floor(jnp.where(jnp.isfinite(xmin), xmin, 0.0)), 0, wp - WINDOW)
+    # Mosaic requires DMA slice origins aligned to the (8, 128) tile: round
+    # the row origin down to 8 and the column origin so sx*c is a lane-tile
+    # multiple (a no-op when c is a multiple of 128). Costs only window
+    # margin — worst case 57 usable rows, still over the ~40-cell span bound.
+    sy8 = (sy + row_base).reshape(b * n).astype(jnp.int32) // 8
+    lane_align = 128 // math.gcd(c, 128)
+    sxa = sx.reshape(b * n).astype(jnp.int32) // lane_align
+
+    coords = jnp.stack([ys + row_base[..., None], xs], axis=2)  # [B, N, 2, S]
+    coords = coords.reshape(b * n, 2, s)
+    act = (jnp.asarray(active) != 0).astype(jnp.int32).reshape(b * n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b * n,),
+        in_specs=[
+            pl.BlockSpec((1, 2, s), lambda i, sy, sx, a: (i, 0, 0)),
+            # keep the full pyramid level in HBM; each roi DMAs only its
+            # window (ANY lets the compiler pull the whole map into VMEM)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, s, s * c), lambda i, sy, sx, a: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((WINDOW, WINDOW * c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, crop=s, c=c, lane_align=lane_align),
+        out_shape=jax.ShapeDtypeStruct((b * n, s, s * c), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(sy8, sxa, act, coords, feat2d.astype(jnp.float32))
+    out = out.reshape(b, n, s, s, c)
+    return out[0] if single else out
