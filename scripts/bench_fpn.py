@@ -34,6 +34,7 @@ def main():
     )
 
     impl = os.environ.get("BENCH_ROI_ALIGN", "einsum")
+    phase = os.environ.get("BENCH_PHASE", "train")
     cfg = dict(config_factory("pascal", "fpn"))
     cfg["tpu_roi_align_impl"] = impl
     cfg["tpu_compute_dtype"] = os.environ.get("BENCH_DTYPE", cfg["tpu_compute_dtype"])
@@ -42,6 +43,34 @@ def main():
     backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
     det = model_factory("fpn", backbone, cfg)
     params = det.init_params(jax.random.PRNGKey(0))
+
+    if phase == "predict":
+        h, w = cfg["tpu_image_buckets"][0]
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
+        image_hw = jnp.asarray([[h - 8, w - 16]] * b, jnp.int32)
+        scales = jnp.ones((b,), jnp.float32)
+        sm, deltas, rois, valid = det.im_detect_batch(params, images, image_hw, scales)
+        float(sm.sum())
+        n_steps = 20
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            sm, deltas, rois, valid = det.im_detect_batch(
+                params, images, image_hw, scales
+            )
+        float(sm.sum())  # device->host sync (block_until_ready is a no-op here)
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": f"fpn_{backbone}_im_detect_{impl}",
+                    "ms_per_step": round(dt / n_steps * 1e3, 2),
+                    "images_per_sec": round(n_steps * b / dt, 2),
+                }
+            )
+        )
+        return
+
     opt = make_optimizer(cfg, params, backbone)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     step = make_train_step(det, opt)

@@ -88,6 +88,32 @@ def test_pallas_roi_align_batched_row_folding():
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_roi_align_feature_gradients_match_einsum():
+    """custom_vjp backward (einsum transpose) == autodiff of the einsum path."""
+    from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import _norm_boxes
+
+    rng = np.random.RandomState(5)
+    h, w, c = 60, 80, 8
+    ih, iw = 240.0, 320.0
+    feat = jnp.asarray(rng.randn(h, w, c).astype(np.float32))
+    rois = jnp.asarray(
+        np.array([[10.0, 20.0, 90.0, 100.0], [150.0, 60.0, 260.0, 200.0]], np.float32)
+    )
+    active = jnp.asarray([1, 1])
+
+    def loss_pallas(f):
+        o = pallas_roi_align_window(f, rois, active, ih, iw, 14, interpret=True)
+        return jnp.sum(o * o)
+
+    def loss_einsum(f):
+        o = crop_and_resize(f, _norm_boxes(rois, ih, iw), 14)
+        return jnp.sum(o * o)
+
+    g1 = jax.grad(loss_pallas)(feat)
+    g2 = jax.grad(loss_einsum)(feat)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
 def test_fpn_predict_pallas_matches_einsum():
     """End-to-end FPN predict: pallas RoIAlign == einsum RoIAlign.
 

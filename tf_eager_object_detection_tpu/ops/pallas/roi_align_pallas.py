@@ -121,7 +121,6 @@ def _kernel(
         out_ref[0] = out.reshape(crop, crop * c)
 
 
-@functools.partial(jax.jit, static_argnames=("crop_size", "interpret"))
 def pallas_roi_align_window(
     features: jnp.ndarray,
     rois: jnp.ndarray,
@@ -138,12 +137,91 @@ def pallas_roi_align_window(
     return all-zero crops without touching HBM; image_height/width: [B] (or
     scalars), the per-image *valid* extent used for normalization.
     Returns [B, N, S, S, C] (or [N, S, S, C]) f32, S = crop_size.
+
+    Differentiable in `features` (detection training backprops through
+    RoIAlign into the pyramid): pallas_call has no jvp rule, so the kernel
+    is wrapped in a custom_vjp whose backward is the transpose of the same
+    bilinear sampling expressed as einsums (identical math to the einsum
+    forward in ops/roi_align.py, which is golden-tested against TF).
     """
     single = features.ndim == 3
     if single:
         features = features[None]
         rois = rois[None]
         active = jnp.asarray(active)[None]
+    b = features.shape[0]
+    ih = jnp.broadcast_to(jnp.asarray(image_height, jnp.float32), (b,))
+    iw = jnp.broadcast_to(jnp.asarray(image_width, jnp.float32), (b,))
+    act = (jnp.asarray(active) != 0).astype(jnp.float32)
+    out = _roi_align_vjp(
+        crop_size,
+        interpret,
+        features,
+        jax.lax.stop_gradient(rois),
+        act,
+        ih,
+        iw,
+    )
+    return out[0] if single else out
+
+
+def _norm_boxes(rois, ih, iw):
+    """xyxy pixel rois -> TF (y1, x1, y2, x2) normalized by image shape."""
+    return jnp.stack(
+        [rois[:, 1] / ih, rois[:, 0] / iw, rois[:, 3] / ih, rois[:, 2] / iw],
+        axis=1,
+    )
+
+
+def _einsum_equiv(features, rois, act, ih, iw, crop_size):
+    """Einsum-path forward with the same signature as the pallas kernel —
+    used only to derive the backward (VJP w.r.t. features)."""
+    from tf_eager_object_detection_tpu.ops.roi_align import crop_and_resize
+
+    out = jax.vmap(
+        lambda f, r, hh, ww: crop_and_resize(f, _norm_boxes(r, hh, ww), crop_size)
+    )(features, rois, ih, iw)
+    return out * act[..., None, None, None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _roi_align_vjp(crop_size, interpret, features, rois, act, ih, iw):
+    return _pallas_forward(features, rois, act, ih, iw, crop_size, interpret)
+
+
+def _roi_align_vjp_fwd(crop_size, interpret, features, rois, act, ih, iw):
+    out = _pallas_forward(features, rois, act, ih, iw, crop_size, interpret)
+    return out, (features, rois, act, ih, iw)
+
+
+def _roi_align_vjp_bwd(crop_size, interpret, res, g):
+    features, rois, act, ih, iw = res
+    _, vjp = jax.vjp(
+        lambda f: _einsum_equiv(f, rois, act, ih, iw, crop_size), features
+    )
+    (df,) = vjp(g)
+    return (
+        df,
+        jnp.zeros_like(rois),
+        jnp.zeros_like(act),
+        jnp.zeros_like(ih),
+        jnp.zeros_like(iw),
+    )
+
+
+_roi_align_vjp.defvjp(_roi_align_vjp_fwd, _roi_align_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "interpret"))
+def _pallas_forward(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    active: jnp.ndarray,
+    image_height,
+    image_width,
+    crop_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
     b, h, w, c = features.shape
     n = rois.shape[1]
     s = crop_size
@@ -216,5 +294,4 @@ def pallas_roi_align_window(
         grid_spec=grid_spec,
         interpret=interpret,
     )(sy8, sxa, act, coords, feat2d.astype(jnp.float32))
-    out = out.reshape(b, n, s, s, c)
-    return out[0] if single else out
+    return out.reshape(b, n, s, s, c)
