@@ -88,6 +88,20 @@ def test_pallas_roi_align_batched_row_folding():
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
 
 
+def test_unknown_roi_align_impl_rejected():
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+
+    cfg = dict(config_factory("pascal", "fpn"))
+    cfg["tpu_roi_align_impl"] = "bogus"
+    try:
+        model_factory("fpn", "resnet50", cfg)
+    except ValueError as e:
+        assert "tpu_roi_align_impl" in str(e)
+    else:
+        raise AssertionError("bogus impl name was silently accepted")
+
+
 def test_pallas_roi_align_feature_gradients_match_einsum():
     """custom_vjp backward (einsum transpose) == autodiff of the einsum path."""
     from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import _norm_boxes

@@ -148,6 +148,12 @@ class FPNDetector:
         self.min_level = cfg["min_level"]
         self.max_level = cfg["max_level"]
         self.num_anchors = len(cfg["ratios"]) * len(cfg["scales"])
+        impl = cfg.get("tpu_roi_align_impl", "einsum")
+        if impl not in ("einsum", "pallas", "pallas_interpret", "auto"):
+            raise ValueError(
+                f"tpu_roi_align_impl={impl!r}: expected one of "
+                "'einsum', 'pallas', 'pallas_interpret', 'auto'"
+            )
         self.compute_dtype = (
             jnp.bfloat16
             if cfg.get("tpu_compute_dtype", "float32") == "bfloat16"
