@@ -88,6 +88,27 @@ def test_pallas_roi_align_batched_row_folding():
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
 
 
+def test_roi_features_batched_chunked_matches_vmap():
+    """b >= 4 takes the sequential lax.map path (OOM guard); results must
+    equal the vmapped einsum path exactly."""
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+
+    cfg = dict(config_factory("pascal", "fpn"))
+    det = model_factory("fpn", "resnet50", cfg)
+    rng = np.random.RandomState(7)
+    b, c = 4, 8
+    p_list = tuple(
+        jnp.asarray(rng.randn(b, s, s, c).astype(np.float32)) for s in (32, 16, 8, 4)
+    )
+    rois = jnp.asarray(rng.uniform(5, 100, size=(b, 6, 4)).astype(np.float32))
+    rois = rois.at[..., 2:].set(rois[..., :2] + jnp.abs(rois[..., 2:]))
+    hw = jnp.asarray([[128, 128]] * b, jnp.int32)
+    got = det._roi_features_batched(p_list, rois, hw)
+    want = jax.vmap(det._roi_features)(p_list, rois, hw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
 def test_unknown_roi_align_impl_rejected():
     from tf_eager_object_detection_tpu.config.config_factory import config_factory
     from tf_eager_object_detection_tpu.models.model_factory import model_factory

@@ -347,6 +347,16 @@ class FPNDetector:
         row folding; the einsum path is vmapped as before.
         """
         if not self._use_pallas_roi_align():
+            if rois.shape[0] >= 4:
+                # the einsum path's per-image [N, S, W, C] intermediate is
+                # ~3.7 GB at P2 with 1000 test rois; vmap materializes it
+                # for every image at once and OOMs HBM at eval batch 6
+                # (measured). Sequential per-image crops cap the peak at
+                # one image's worth.
+                return jax.lax.map(
+                    lambda args: self._roi_features(args[0], args[1], args[2]),
+                    (tuple(p_list), rois, image_hw),
+                )
             return jax.vmap(self._roi_features)(tuple(p_list), rois, image_hw)
         from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
             pallas_roi_align_window,
