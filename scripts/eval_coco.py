@@ -69,7 +69,11 @@ def main():
         scores_c = np.asarray(scores_c)
         valid_c = np.asarray(valid_c)
         for j in range(detector.num_classes - 1):
-            cat_id = ds.label_to_cat_id[j + 1]
+            # annotation files with a category subset (e.g. minival slices)
+            # leave trailing label slots unmapped — skip those classes
+            cat_id = ds.label_to_cat_id.get(j + 1)
+            if cat_id is None:
+                continue
             for box, score in zip(boxes_c[j][valid_c[j]], scores_c[j][valid_c[j]]):
                 x1, y1, x2, y2 = [float(v) for v in box]
                 results.append(

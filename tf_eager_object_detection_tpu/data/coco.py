@@ -140,7 +140,10 @@ def coco_train_batches(
             if not repeat:
                 return
     finally:
-        pool.shutdown(wait=False, cancel_futures=True)
+        try:
+            pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:  # interpreter teardown: queue module may be gone
+            pass
 
 
 def _stack(group):
@@ -178,6 +181,9 @@ def coco_eval_iterator(
         try:
             yield from pool.map(load, range(len(ds)))
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:  # interpreter teardown: queue module may be gone
+                pass
 
     return iterator(), ds

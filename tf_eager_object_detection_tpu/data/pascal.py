@@ -127,7 +127,10 @@ def pascal_train_batches(
     finally:
         # generator may be closed mid-epoch (or at interpreter teardown):
         # don't block joining worker threads
-        pool.shutdown(wait=False, cancel_futures=True)
+        try:
+            pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:  # interpreter teardown: queue module may be gone
+            pass
 
 
 def _stack_batch(group):
@@ -219,7 +222,10 @@ def pascal_train_batches_from_voc(
             if not repeat:
                 return
     finally:
-        pool.shutdown(wait=False, cancel_futures=True)
+        try:
+            pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:  # interpreter teardown: queue module may be gone
+            pass
 
 
 def pascal_eval_iterator_from_tf_records(
@@ -250,7 +256,10 @@ def pascal_eval_iterator_from_tf_records(
         try:
             yield from pool.map(load, records)
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:  # interpreter teardown: queue module may be gone
+                pass
 
     return iterator(), image_ids
 
@@ -286,6 +295,9 @@ def pascal_eval_iterator(
         try:
             yield from pool.map(load, image_ids)
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:  # interpreter teardown: queue module may be gone
+                pass
 
     return iterator(), image_ids
