@@ -108,3 +108,29 @@ def test_im_detect_api():
     assert rois.shape == (50, 4)
     # rois are divided by scale
     assert float(np.asarray(rois).max()) <= 160.0 / 2.0 + 1.0
+
+
+def test_adam_optimizer_option():
+    """Reference trainer offers Momentum or Adam (train.py:43-50); the adam
+    path must step, keep frozen params frozen, and reject unknown names."""
+    cfg = _small_config()
+    cfg["tpu_image_buckets"] = [[64, 64]]
+    cfg["tpu_max_gt_boxes"] = 4
+    cfg["optimizer_type"] = "adam"
+    det = model_factory("faster_rcnn", "vgg16", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    frozen_before = np.array(params["extractor"]["block1_conv1"]["kernel"])
+    opt = make_optimizer(cfg, params, "vgg16")
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(det, opt)
+    rng = np.random.RandomState(0)
+    batch = _batch(rng, h=64, w=64, g=4)
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["total_loss"]))
+    got = np.asarray(state.params["extractor"]["block1_conv1"]["kernel"])
+    np.testing.assert_array_equal(got, frozen_before)
+
+    cfg_bad = dict(cfg)
+    cfg_bad["optimizer_type"] = "bogus"
+    with pytest.raises(ValueError, match="optimizer_type"):
+        make_optimizer(cfg_bad, params, "vgg16")

@@ -1,7 +1,8 @@
 """Optimizer matching the reference trainer semantics (scripts/train.py:22-50).
 
 - piecewise-constant LR over `learning_rate_multi_decay_steps` / `_lrs`
-- SGD momentum 0.9
+- SGD momentum 0.9, or Adam via cfg `optimizer_type='adam'`
+  (`_get_default_optimizer`, train.py:43-50)
 - bias gradients x2 when `learning_rate_bias_double` (train.py:29-36)
 - L2 weight decay on trainable kernels via add_decayed_weights(2*wd)
   (keras l2(wd) penalty contributes grad 2*wd*w)
@@ -52,7 +53,15 @@ def make_optimizer(cfg: Dict[str, Any], params, backbone: str, model_type: str =
     ]
     if cfg.get("learning_rate_bias_double", False):
         chain.append(_bias_double())
-    chain.append(optax.sgd(lr, momentum=cfg["optimizer_momentum"]))
+    opt_type = cfg.get("optimizer_type", "momentum")
+    if opt_type == "adam":
+        chain.append(optax.adam(lr))
+    elif opt_type == "momentum":
+        chain.append(optax.sgd(lr, momentum=cfg["optimizer_momentum"]))
+    else:
+        raise ValueError(
+            f"optimizer_type={opt_type!r}: expected 'momentum' or 'adam'"
+        )
     opt = optax.chain(*chain)
     # Zero out updates for frozen params (keras trainable=False).
     return optax.chain(
