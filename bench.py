@@ -100,7 +100,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "faster_rcnn_resnet50_train_step_throughput",
+                "metric": f"faster_rcnn_{backbone}_train_step_throughput",
                 "value": round(img_per_sec, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_sec / ASSUMED_BASELINE_IMG_PER_SEC, 3),
