@@ -98,6 +98,57 @@ def test_roi_crop_fpn_matches_tf_pipeline():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_roi_crop_fpn_padded_bucket_matches_tf_unpadded():
+    """ADVICE r1 (high): bucket padding must not stretch FPN sample coords.
+
+    Golden: the reference (RoiPoolingCropAndResize2) crops from the UNPADDED
+    map of valid extent ceil(image_dim/stride). Our map is the padded bucket
+    grid; with level_stride passed, roi_crop_fpn must reproduce the unpadded
+    result exactly even when the image fills only part of the bucket.
+    """
+    rng = np.random.RandomState(5)
+    stride = 16
+    img_h, img_w = 600.0, 800.0  # valid grid 38 x 50
+    vh, vw = 38, 50
+    ph, pw = 40, 64  # 640 x 1024 bucket at stride 16
+    feat_valid = rng.randn(vh, vw, 8).astype(np.float32)
+    feat_padded = np.zeros((ph, pw, 8), np.float32)
+    feat_padded[:vh, :vw] = feat_valid
+    rois = np.array(
+        [
+            [8.0, 16.0, 200.0, 150.0],
+            [0.0, 0.0, 799.0, 599.0],  # whole image
+            [500.0, 300.0, 790.0, 590.0],  # reaches the valid bottom-right
+        ],
+        np.float32,
+    )
+    boxes = np.stack(
+        [rois[:, 1] / img_h, rois[:, 0] / img_w, rois[:, 3] / img_h, rois[:, 2] / img_w],
+        axis=1,
+    )
+    crops = _tf_crop(feat_valid, boxes, 14)
+    want = tf.nn.max_pool2d(tf.constant(crops), 2, 2, padding="SAME").numpy()
+    got = np.asarray(
+        roi_crop_fpn(
+            jnp.asarray(feat_padded), jnp.asarray(rois), img_h, img_w, 7,
+            level_stride=stride,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # sanity: when the image exactly fills the bucket, level_stride is a no-op
+    full = np.asarray(
+        roi_crop_fpn(
+            jnp.asarray(feat_valid), jnp.asarray(rois), vh * 16.0, vw * 16.0, 7,
+            level_stride=stride,
+        )
+    )
+    base = np.asarray(
+        roi_crop_fpn(jnp.asarray(feat_valid), jnp.asarray(rois), vh * 16.0, vw * 16.0, 7)
+    )
+    np.testing.assert_allclose(full, base, rtol=1e-5, atol=1e-5)
+
+
 def test_max_pool_same_odd():
     x = jnp.arange(25.0).reshape(1, 5, 5, 1)
     got = np.asarray(max_pool_2x2_same(x))

@@ -88,6 +88,74 @@ def test_pallas_roi_align_batched_row_folding():
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_roi_align_padded_bucket_matches_unpadded():
+    """level_stride must map sample coords onto each image's valid extent of
+    a padded bucket map (ADVICE r1 high) — golden is the einsum crop on the
+    UNPADDED map."""
+    rng = np.random.RandomState(6)
+    stride, c = 8, 8
+    ih, iw = 300.0, 420.0  # valid grid 38 x 53
+    vh, vw = 38, 53
+    ph, pw = 48, 64  # padded bucket grid
+    feat_valid = rng.randn(vh, vw, c).astype(np.float32)
+    feat_padded = np.zeros((ph, pw, c), np.float32)
+    feat_padded[:vh, :vw] = feat_valid
+    rois = np.array(
+        [
+            [10.0, 20.0, 120.0, 100.0],
+            [0.0, 0.0, 419.0, 299.0],
+            [250.0, 150.0, 410.0, 290.0],
+        ],
+        np.float32,
+    )
+    active = np.ones(len(rois), np.int32)
+    got = np.asarray(
+        pallas_roi_align_window(
+            jnp.asarray(feat_padded), jnp.asarray(rois), jnp.asarray(active),
+            ih, iw, 14, interpret=True, level_stride=stride,
+        )
+    )
+    want = _ref_crops(feat_valid, rois, ih, iw, 14)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_padded_bucket_gradients_consistent():
+    """custom_vjp backward must use the same valid-extent coordinate map."""
+    rng = np.random.RandomState(8)
+    stride, c = 8, 8
+    ih, iw = 300.0, 420.0
+    ph, pw = 48, 64
+    feat = jnp.asarray(rng.randn(ph, pw, c).astype(np.float32))
+    rois = jnp.asarray(
+        np.array([[10.0, 20.0, 120.0, 100.0], [250.0, 150.0, 410.0, 290.0]], np.float32)
+    )
+    active = jnp.asarray([1, 1])
+
+    def loss_pallas(f):
+        o = pallas_roi_align_window(
+            f, rois, active, ih, iw, 14, interpret=True, level_stride=stride
+        )
+        return jnp.sum(o * o)
+
+    def loss_einsum(f):
+        vh, vw = float(np.ceil(ih / stride)), float(np.ceil(iw / stride))
+        boxes = jnp.stack(
+            [
+                rois[:, 1] / ih * (vh - 1) / (ph - 1),
+                rois[:, 0] / iw * (vw - 1) / (pw - 1),
+                rois[:, 3] / ih * (vh - 1) / (ph - 1),
+                rois[:, 2] / iw * (vw - 1) / (pw - 1),
+            ],
+            axis=1,
+        )
+        o = crop_and_resize(f, boxes, 14)
+        return jnp.sum(o * o)
+
+    g1 = jax.grad(loss_pallas)(feat)
+    g2 = jax.grad(loss_einsum)(feat)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
 def test_roi_features_batched_chunked_matches_vmap():
     """b >= 4 takes the sequential lax.map path (OOM guard); results must
     equal the vmapped einsum path exactly."""

@@ -325,6 +325,7 @@ class FPNDetector:
                     p_list_i[i], rois, levels == lvl,
                     image_hw[0], image_hw[1], s2,
                     interpret=self._pallas_interpret(),
+                    level_stride=self.strides[i],
                 )
             return max_pool_2x2_same(total)
         feats = 0.0
@@ -332,6 +333,7 @@ class FPNDetector:
             crop = roi_crop_fpn(
                 p_list_i[i], rois, image_hw[0], image_hw[1],
                 self.cfg["roi_pooling_size"],
+                level_stride=self.strides[i],
             )
             feats = feats + jnp.where(
                 (levels == lvl)[:, None, None, None], crop, 0.0
@@ -370,6 +372,7 @@ class FPNDetector:
                 p_list[i], rois, levels == lvl,
                 image_hw[:, 0], image_hw[:, 1], s2,
                 interpret=self._pallas_interpret(),
+                level_stride=self.strides[i],
             )
         b, n = total.shape[:2]
         pooled = max_pool_2x2_same(total.reshape((b * n,) + total.shape[2:]))

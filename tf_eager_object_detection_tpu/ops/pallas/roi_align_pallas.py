@@ -129,6 +129,7 @@ def pallas_roi_align_window(
     image_width,
     crop_size: int,
     interpret: bool = False,
+    level_stride: int | None = None,
 ) -> jnp.ndarray:
     """FPN-style RoIAlign (roi_crop_fpn sampling) via the windowed kernel.
 
@@ -136,6 +137,9 @@ def pallas_roi_align_window(
     pixels on the image; active: [B, N] bool/int — rois with active == 0
     return all-zero crops without touching HBM; image_height/width: [B] (or
     scalars), the per-image *valid* extent used for normalization.
+    `level_stride`: when the map is a padded bucket grid, pass the pyramid
+    level's stride so sample coords target the valid extent
+    ceil(image_dim / stride) instead of the padded grid (see roi_crop_fpn).
     Returns [B, N, S, S, C] (or [N, S, S, C]) f32, S = crop_size.
 
     Differentiable in `features` (detection training backprops through
@@ -156,6 +160,7 @@ def pallas_roi_align_window(
     out = _roi_align_vjp(
         crop_size,
         interpret,
+        level_stride,
         features,
         jax.lax.stop_gradient(rois),
         act,
@@ -173,31 +178,73 @@ def _norm_boxes(rois, ih, iw):
     )
 
 
-def _einsum_equiv(features, rois, act, ih, iw, crop_size):
+def _coord_scales(ih, iw, h: int, w: int, level_stride):
+    """Per-image (y, x) multipliers mapping pixel coords to feature cells.
+
+    With a stride, coords target the image's valid feature extent
+    ceil(dim / stride) on the padded bucket grid; without, the whole grid
+    (reference semantics on an unpadded map). Returns (gy, gx, by, bx):
+    pixel->cell scales and the max in-range cell per axis.
+    """
+    if level_stride is None:
+        gy = (h - 1.0) / ih
+        gx = (w - 1.0) / iw
+        by = jnp.full_like(ih, h - 1.0)
+        bx = jnp.full_like(iw, w - 1.0)
+    else:
+        s = float(level_stride)
+        by = jnp.ceil(ih / s) - 1.0
+        bx = jnp.ceil(iw / s) - 1.0
+        gy = by / ih
+        gx = bx / iw
+    return gy, gx, by, bx
+
+
+def _einsum_equiv(features, rois, act, ih, iw, crop_size, level_stride):
     """Einsum-path forward with the same signature as the pallas kernel —
     used only to derive the backward (VJP w.r.t. features)."""
     from tf_eager_object_detection_tpu.ops.roi_align import crop_and_resize
 
-    out = jax.vmap(
-        lambda f, r, hh, ww: crop_and_resize(f, _norm_boxes(r, hh, ww), crop_size)
-    )(features, rois, ih, iw)
+    h, w = features.shape[1], features.shape[2]
+    gy, gx, _, _ = _coord_scales(ih, iw, h, w, level_stride)
+
+    def one(f, r, fy, fx):
+        boxes = jnp.stack(
+            [
+                r[:, 1] * fy / (h - 1.0),
+                r[:, 0] * fx / (w - 1.0),
+                r[:, 3] * fy / (h - 1.0),
+                r[:, 2] * fx / (w - 1.0),
+            ],
+            axis=1,
+        )
+        return crop_and_resize(f, boxes, crop_size)
+
+    out = jax.vmap(one)(features, rois, gy, gx)
     return out * act[..., None, None, None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _roi_align_vjp(crop_size, interpret, features, rois, act, ih, iw):
-    return _pallas_forward(features, rois, act, ih, iw, crop_size, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _roi_align_vjp(crop_size, interpret, level_stride, features, rois, act, ih, iw):
+    return _pallas_forward(
+        features, rois, act, ih, iw, crop_size, interpret, level_stride
+    )
 
 
-def _roi_align_vjp_fwd(crop_size, interpret, features, rois, act, ih, iw):
-    out = _pallas_forward(features, rois, act, ih, iw, crop_size, interpret)
+def _roi_align_vjp_fwd(
+    crop_size, interpret, level_stride, features, rois, act, ih, iw
+):
+    out = _pallas_forward(
+        features, rois, act, ih, iw, crop_size, interpret, level_stride
+    )
     return out, (features, rois, act, ih, iw)
 
 
-def _roi_align_vjp_bwd(crop_size, interpret, res, g):
+def _roi_align_vjp_bwd(crop_size, interpret, level_stride, res, g):
     features, rois, act, ih, iw = res
     _, vjp = jax.vjp(
-        lambda f: _einsum_equiv(f, rois, act, ih, iw, crop_size), features
+        lambda f: _einsum_equiv(f, rois, act, ih, iw, crop_size, level_stride),
+        features,
     )
     (df,) = vjp(g)
     return (
@@ -212,7 +259,9 @@ def _roi_align_vjp_bwd(crop_size, interpret, res, g):
 _roi_align_vjp.defvjp(_roi_align_vjp_fwd, _roi_align_vjp_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("crop_size", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("crop_size", "interpret", "level_stride")
+)
 def _pallas_forward(
     features: jnp.ndarray,
     rois: jnp.ndarray,
@@ -221,6 +270,7 @@ def _pallas_forward(
     image_width,
     crop_size: int,
     interpret: bool = False,
+    level_stride: int | None = None,
 ) -> jnp.ndarray:
     b, h, w, c = features.shape
     n = rois.shape[1]
@@ -228,22 +278,25 @@ def _pallas_forward(
     r = jax.lax.stop_gradient(rois)
     ih = jnp.broadcast_to(jnp.asarray(image_height, jnp.float32), (b,))
     iw = jnp.broadcast_to(jnp.asarray(image_width, jnp.float32), (b,))
-    # TF crop_and_resize sampling rule on boxes normalized by image shape
-    y1 = r[:, :, 1] / ih[:, None] * (h - 1)
-    y2 = r[:, :, 3] / ih[:, None] * (h - 1)
-    x1 = r[:, :, 0] / iw[:, None] * (w - 1)
-    x2 = r[:, :, 2] / iw[:, None] * (w - 1)
+    # TF crop_and_resize sampling rule on boxes normalized by image shape,
+    # mapped onto each image's valid feature extent (see _coord_scales)
+    gy, gx, by, bx = _coord_scales(ih, iw, h, w, level_stride)
+    y1 = r[:, :, 1] * gy[:, None]
+    y2 = r[:, :, 3] * gy[:, None]
+    x1 = r[:, :, 0] * gx[:, None]
+    x2 = r[:, :, 2] * gx[:, None]
 
     idx = jnp.arange(s, dtype=jnp.float32)
     ys = y1[..., None] + (y2 - y1)[..., None] * idx / (s - 1)  # [B, N, S]
     xs = x1[..., None] + (x2 - x1)[..., None] * idx / (s - 1)
-    # TF zeroes whole samples outside the map; push those coords far out so
-    # their tent weights vanish (epsilon-tolerant bounds as in roi_align.py)
+    # TF zeroes whole samples outside the (valid extent of the) map; push
+    # those coords far out so their tent weights vanish (epsilon-tolerant
+    # bounds as in roi_align.py)
     eps = 1e-3
-    y_bad = (ys < -eps) | (ys > (h - 1) + eps)
-    x_bad = (xs < -eps) | (xs > (w - 1) + eps)
-    ys = jnp.where(y_bad, -1e9, jnp.clip(ys, 0.0, h - 1))
-    xs = jnp.where(x_bad, -1e9, jnp.clip(xs, 0.0, w - 1))
+    y_bad = (ys < -eps) | (ys > by[:, None, None] + eps)
+    x_bad = (xs < -eps) | (xs > bx[:, None, None] + eps)
+    ys = jnp.where(y_bad, -1e9, jnp.clip(ys, 0.0, by[:, None, None]))
+    xs = jnp.where(x_bad, -1e9, jnp.clip(xs, 0.0, bx[:, None, None]))
 
     # pad so a WINDOW-sized window always fits inside each image's rows;
     # hp is rounded to the 8-row sublane tile so per-image row bases (b * hp)

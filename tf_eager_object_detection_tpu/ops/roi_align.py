@@ -237,17 +237,40 @@ def roi_crop_fpn(
     image_height,
     image_width,
     pool_size: int,
+    level_stride: int | None = None,
 ) -> jnp.ndarray:
     """FPN RoI pooling (`RoiPoolingCropAndResize2`, roi_pooling.py:8-42).
 
     Normalizes rois by the *image* shape (may be traced per-image valid h/w),
     crops at 2x pool_size, then 2x2 same max pool.
+
+    `level_stride` handles bucket padding: the reference runs on UNPADDED
+    feature maps of valid extent ceil(image_dim / stride), so its sample
+    coordinate is (y / image_h) * (valid_h - 1). Our feature map is the
+    padded bucket grid of extent Hp >= valid_h, and crop_and_resize maps
+    normalized coords onto (Hp - 1) — so the normalized boxes must be
+    rescaled by (valid - 1) / (Hp - 1) per axis or samples stretch into the
+    zero-padding whenever the image does not fill the bucket. Pass the
+    pyramid level's stride to enable this (correct) behavior; None keeps the
+    raw image-shape normalization, valid only when the map is unpadded.
+    Out-of-valid-extent samples are not re-zeroed here: proposals are always
+    clipped to the image beforehand, which already bounds coords < valid - 1.
     """
     r = jax.lax.stop_gradient(rois)
     ih = jnp.asarray(image_height, jnp.float32)
     iw = jnp.asarray(image_width, jnp.float32)
+    if level_stride is None:
+        fy = 1.0 / ih
+        fx = 1.0 / iw
+    else:
+        s = float(level_stride)
+        vh = jnp.ceil(ih / s)  # valid grid cells: iterated same-pad stride-2
+        vw = jnp.ceil(iw / s)
+        h, w = features.shape[0], features.shape[1]
+        fy = (vh - 1.0) / ((h - 1.0) * ih)
+        fx = (vw - 1.0) / ((w - 1.0) * iw)
     boxes = jnp.stack(
-        [r[:, 1] / ih, r[:, 0] / iw, r[:, 3] / ih, r[:, 2] / iw], axis=1
+        [r[:, 1] * fy, r[:, 0] * fx, r[:, 3] * fy, r[:, 2] * fx], axis=1
     )
     crops = crop_and_resize(features, boxes, pool_size * 2)
     return max_pool_2x2_same(crops)
