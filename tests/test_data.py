@@ -202,3 +202,15 @@ def test_train_batches_end_to_end(tmp_path):
     assert batch["gt_boxes"].shape == (2, 5, 4)
     assert batch["gt_mask"][:, 0].all() and not batch["gt_mask"][:, 1:].any()
     assert batch["gt_labels"][0, 0] == pascal_label_map_dict()["dog"]
+
+
+def test_pad_to_bucket_rejects_oversized_image():
+    # A resized image bigger than every bucket must fail loudly instead of
+    # silently cropping content that image_hw / gt boxes still reference
+    # (ADVICE r1: preprocessing.py pad_to_bucket silent-crop hazard).
+    img = np.zeros((64, 64, 3), np.float32)
+    with pytest.raises(ValueError, match="exceeds bucket"):
+        P.pad_to_bucket(img, (32, 128))
+    # exact fit still fine
+    out = P.pad_to_bucket(img, (64, 64))
+    assert out.shape == (64, 64, 3)

@@ -103,8 +103,19 @@ def pick_bucket(h: int, w: int, buckets: Sequence[Sequence[int]]) -> Tuple[int, 
 def pad_to_bucket(image: np.ndarray, bucket: Tuple[int, int]) -> np.ndarray:
     h, w = image.shape[:2]
     bh, bw = bucket
+    if h > bh or w > bw:
+        # Cropping here would silently cut off content that image_hw / gt
+        # boxes still reference. Unreachable with shipped configs (pick_bucket
+        # falls back to the largest bucket, and the default buckets cover the
+        # image_min_size/image_max_size resize envelope) — but custom
+        # tpu_image_buckets must fail loudly, not corrupt data.
+        raise ValueError(
+            f"resized image ({h}x{w}) exceeds bucket ({bh}x{bw}); add a larger "
+            "bucket to tpu_image_buckets covering the image_min_size/"
+            "image_max_size resize envelope"
+        )
     out = np.zeros((bh, bw) + image.shape[2:], image.dtype)
-    out[:h, :w] = image[: min(h, bh), : min(w, bw)]
+    out[:h, :w] = image[:h, :w]
     return out
 
 
@@ -159,14 +170,24 @@ def preprocess_eval_image(
     image_rgb: np.ndarray,
     cfg: dict,
     preprocessing_type: str = "caffe",
+    image_format: str = "bgr",
 ):
     """One eval image -> (padded image, image_hw, scale, raw_h, raw_w).
 
     Matches `preprocessing_eval_func` (tf_dataset_utils.py:129-154).
+
+    image_format: channel order fed to the model. 'bgr' (default, caffe
+    convention) or 'rgb' for models trained on RGB input — the
+    FPN_Tensorflow import path (reference eval_pascal_tf_dataset.py:50-51:
+    subtract means in BGR order, then reverse channels).
     """
+    if image_format not in ("bgr", "rgb"):
+        raise ValueError(f"unknown image format {image_format}")
     h, w = image_rgb.shape[:2]
     if preprocessing_type == "caffe":
         img = caffe_normalize(image_rgb, cfg["bgr_pixel_means"])
+        if image_format == "rgb":
+            img = img[..., ::-1]
     elif preprocessing_type == "tf":
         img = tf_normalize(image_rgb)
     else:

@@ -38,6 +38,7 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
     (the tf.data prefetch analogue, pascal_tf_dataset_generator.py:101).
     """
     import queue
+    import sys
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
@@ -47,12 +48,17 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
         try:
             for item in iterator:
                 q.put(item)
-        except Exception:
-            pass  # interpreter teardown can GC modules under our feet
-        finally:
+            q.put(done)
+        except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
+            # Interpreter teardown can GC modules under the thread's feet;
+            # that (and only that) is swallowed. A real data-pipeline error
+            # (corrupt tfrecord, decode failure) is forwarded to the consumer
+            # and re-raised there, so an epoch never silently ends early.
+            if sys.is_finalizing():
+                return
             try:
-                q.put(done)
-            except Exception:
+                q.put(exc)
+            except BaseException:
                 pass
 
     t = threading.Thread(target=worker, daemon=True)
@@ -61,6 +67,8 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
         item = q.get()
         if item is done:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -74,17 +82,45 @@ class Trainer:
         saving_every_n_steps: int = 5000,
         restore_ckpt_path: Optional[str] = None,
         seed: int = 0,
+        data_parallel: bool = False,
+        backbone_weights: Optional[str] = None,
     ):
         self.det = detector
         cfg = detector.cfg
         self.params = detector.init_params(jax.random.PRNGKey(seed))
+        if backbone_weights:
+            # pretrained-backbone start (reference fresh-training UX,
+            # resnet_faster_rcnn.py:122-131); a restored checkpoint below
+            # takes precedence over this init-time load
+            from tf_eager_object_detection_tpu.ref_import.cli import (
+                load_backbone_weights,
+            )
+
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray,
+                load_backbone_weights(
+                    detector, jax.device_get(self.params), backbone_weights
+                ),
+            )
         self.optimizer = make_optimizer(
             cfg, self.params, detector.backbone, detector.model_type
         )
         self.state = TrainState(
             self.params, self.optimizer.init(self.params), jnp.zeros((), jnp.int32)
         )
-        self.step_fn = make_train_step(detector, self.optimizer)
+        if data_parallel:
+            from tf_eager_object_detection_tpu.parallel.mesh import (
+                make_mesh,
+                make_parallel_train_step,
+            )
+
+            self.mesh = make_mesh()
+            self.step_fn = make_parallel_train_step(
+                detector, self.optimizer, self.mesh
+            )
+        else:
+            self.mesh = None
+            self.step_fn = make_train_step(detector, self.optimizer)
         self.lr_schedule = make_lr_schedule(cfg)
         self.ckpt = CheckpointManager(train_dir)
         if restore_ckpt_path:
@@ -92,11 +128,16 @@ class Trainer:
             self.state = restore_mgr.restore(self.state)
         else:
             self.state = self.ckpt.restore(self.state)
+        if self.mesh is not None:
+            from tf_eager_object_detection_tpu.parallel.mesh import replicate
+
+            self.state = replicate(self.state, self.mesh)
         self.writer = MetricWriter(train_dir)
         self.logging_every = logging_every_n_steps
         self.summary_every = summary_every_n_steps
         self.saving_every = saving_every_n_steps
         self.rng = jax.random.PRNGKey(seed + 1)
+        self._predict_jit = None
 
     def train_one_epoch(self, batches: Iterator[dict], steps: Optional[int] = None):
         t_start = time.time()
@@ -110,6 +151,20 @@ class Trainer:
                 jnp.asarray(batch["gt_mask"]),
                 jnp.asarray(batch["gt_labels"]),
             )
+            if self.mesh is not None:
+                from tf_eager_object_detection_tpu.parallel.mesh import (
+                    replicate,
+                    shard_batch,
+                )
+
+                n_dev = self.mesh.devices.size
+                if batch_tuple[0].shape[0] % n_dev:
+                    raise ValueError(
+                        f"global batch {batch_tuple[0].shape[0]} not divisible "
+                        f"by mesh size {n_dev}"
+                    )
+                batch_tuple = shard_batch(batch_tuple, self.mesh)
+                step_rng = replicate(step_rng, self.mesh)
             self.state, metrics = self.step_fn(self.state, batch_tuple, step_rng)
             n += 1
             step = int(self.state.step)
@@ -126,6 +181,7 @@ class Trainer:
                 vals["learning_rate"] = float(self.lr_schedule(step))
                 self.writer.write_scalars(step, vals)
                 self._write_gt_overlay(step, batch)
+                self._write_pred_overlay(step, batch)
             if step % self.saving_every == 0:
                 self.ckpt.save(self.state)
             if steps is not None and n >= steps:
@@ -150,8 +206,48 @@ class Trainer:
                 ),
             )
             self.writer.write_image(step, "gt_boxes", overlay)
-        except Exception:
-            pass  # visualization must never break training
+        except Exception as exc:
+            self._warn_overlay_once("gt", exc)
+
+    def _write_pred_overlay(self, step: int, batch: dict):
+        """Eval-mode forward on the current batch image -> predicted-box
+        overlay next to the gt one (reference scripts/train.py:114-142)."""
+        try:
+            from tf_eager_object_detection_tpu.utils.visual import show_one_image
+
+            if self._predict_jit is None:
+                self._predict_jit = jax.jit(self.det.predict)
+            img = jnp.asarray(batch["images"][0])
+            hw = jnp.asarray(batch["image_hw"][0])
+            det = self._predict_jit(self.state.params, img, hw)
+            thr = self.det.cfg.get("show_image_score_threshold", 0.3)
+            keep = np.asarray(det.valid) & (np.asarray(det.scores) >= thr)
+            if not keep.any():
+                return
+            boxes = np.asarray(det.boxes)[keep]
+            tags = [
+                f"{int(l)}:{s:.2f}"
+                for l, s in zip(np.asarray(det.labels)[keep],
+                                np.asarray(det.scores)[keep])
+            ]
+            overlay = show_one_image(
+                np.asarray(batch["images"][0]), boxes, tags,
+                bgr_means=self.det.cfg.get(
+                    "bgr_pixel_means", (103.939, 116.779, 123.68)
+                ),
+            )
+            self.writer.write_image(step, "pred_boxes", overlay)
+        except Exception as exc:
+            self._warn_overlay_once("pred", exc)
+
+    def _warn_overlay_once(self, kind: str, exc: Exception):
+        """Visualization must never break training, but a permanently broken
+        overlay writer should not fail silently either."""
+        warned = getattr(self, "_overlay_warned", set())
+        if kind not in warned:
+            warned.add(kind)
+            self._overlay_warned = warned
+            print(f"warning: {kind}-box overlay summary failed: {exc!r}", flush=True)
 
     def train(self, batches: Iterator[dict], epochs: int, steps_per_epoch: int):
         batches = prefetch(batches)
