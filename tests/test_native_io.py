@@ -17,6 +17,15 @@ def build_native():
             subprocess.run(["sh", os.path.join(NATIVE_DIR, "build.sh")], check=True)
         except Exception:
             pytest.skip("native toolchain unavailable")
+    # tfrecord.py resolves the library once at import time; if the module was
+    # imported (by an earlier test file) before the .so was built, refresh the
+    # cached handle so these tests exercise the native path.
+    from tf_eager_object_detection_tpu.data import tfrecord as T
+
+    if T._NATIVE is None:
+        T._NATIVE = T._load_native()
+        if T._NATIVE is None:
+            pytest.skip("native library failed to load")
     yield
 
 
@@ -71,3 +80,25 @@ def test_native_index_detects_corruption(tmp_path):
     open(path, "wb").write(bytes(data))
     with pytest.raises(IOError):
         index_tfrecords(path, check_crc=True)
+
+
+def test_python_fallback_index_checks_crc(tmp_path, monkeypatch):
+    """The pure-python indexer must honor check_crc too (the native library
+    may not be built on a fresh machine)."""
+    from tf_eager_object_detection_tpu.data import tfrecord as T
+
+    path = str(tmp_path / "bad2.tfrecords")
+    with T.TFRecordWriter(path) as w:
+        w.write(b"payload")
+        w.write(b"second")
+    monkeypatch.setattr(T, "_NATIVE", None)
+    idx = T.index_tfrecords(path, check_crc=True)
+    assert len(idx) == 2
+
+    data = bytearray(open(path, "rb").read())
+    data[14] ^= 0xFF
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(IOError):
+        T.index_tfrecords(path, check_crc=True)
+    # without check_crc, indexing still walks the framing
+    assert len(T.index_tfrecords(path, check_crc=False)) == 2

@@ -111,9 +111,16 @@ def index_tfrecords(path: str, check_crc: bool = False):
             if len(header) < 8:
                 return out
             (length,) = struct.unpack("<Q", header)
-            f.read(4)
+            hcrc_bytes = f.read(4)
             out.append((f.tell(), length))
-            f.seek(length + 4, 1)
+            if check_crc:
+                (hcrc,) = struct.unpack("<I", hcrc_bytes)
+                data = f.read(length)
+                (dcrc,) = struct.unpack("<I", f.read(4))
+                if _masked_crc(header) != hcrc or _masked_crc(data) != dcrc:
+                    raise IOError(f"corrupt tfrecord in {path}")
+            else:
+                f.seek(length + 4, 1)
 
 
 # ----------------------------------------------------------- record framing
