@@ -24,6 +24,9 @@ def parse_args():
                    choices=["vgg16", "resnet50", "resnet101", "resnet152"])
     p.add_argument("--results_json", default="./coco_results.json")
     p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
+    from tf_eager_object_detection_tpu.ref_import.cli import add_import_flags
+
+    add_import_flags(p)
     return p.parse_args()
 
 
@@ -41,14 +44,15 @@ def main():
         eval_post_process,
     )
     from tf_eager_object_detection_tpu.models.model_factory import model_factory
-    from scripts.eval_pascal import load_checkpoint_params
+    from tf_eager_object_detection_tpu.ref_import.cli import load_checkpoint_params
 
     cfg = dict(config_factory("coco", args.model_type))
     detector = model_factory(args.model_type, args.backbone, cfg)
-    params = load_checkpoint_params(args.ckpt, detector)
+    params, image_format = load_checkpoint_params(detector, args.ckpt, args)
 
     iterator, ds = coco_eval_iterator(
-        args.annotation_file, args.image_dir, cfg, args.preprocessing_type
+        args.annotation_file, args.image_dir, cfg, args.preprocessing_type,
+        image_format=image_format,
     )
     results = []
     for image, image_hw, scale, raw_h, raw_w, img_id in iterator:

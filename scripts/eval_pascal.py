@@ -28,28 +28,10 @@ def parse_args():
     p.add_argument("--use_07_metric", action="store_true", default=True)
     p.add_argument("--no_07_metric", dest="use_07_metric", action="store_false")
     p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
+    from tf_eager_object_detection_tpu.ref_import.cli import add_import_flags
+
+    add_import_flags(p)
     return p.parse_args()
-
-
-def load_checkpoint_params(path, detector):
-    import jax
-
-    from tf_eager_object_detection_tpu.training.checkpoints import (
-        CheckpointManager,
-        load_params,
-    )
-    from tf_eager_object_detection_tpu.training.optimizer import make_optimizer
-    from tf_eager_object_detection_tpu.training.train_step import TrainState
-
-    if path.endswith(".npz"):
-        return load_params(path)
-    params = detector.init_params(jax.random.PRNGKey(0))
-    opt = make_optimizer(detector.cfg, params, detector.backbone, detector.model_type)
-    import jax.numpy as jnp
-
-    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
-    state = CheckpointManager(path).restore(state)
-    return state.params
 
 
 def main():
@@ -62,15 +44,17 @@ def main():
     )
     from tf_eager_object_detection_tpu.evaluation.voc_eval import voc_eval
     from tf_eager_object_detection_tpu.models.model_factory import model_factory
+    from tf_eager_object_detection_tpu.ref_import.cli import load_checkpoint_params
 
     cfg = dict(config_factory("pascal", args.model_type))
     detector = model_factory(args.model_type, args.backbone, cfg)
-    params = load_checkpoint_params(args.ckpt, detector)
+    params, image_format = load_checkpoint_params(detector, args.ckpt, args)
 
     os.makedirs(args.result_dir, exist_ok=True)
     result_fmt = os.path.join(args.result_dir, "{:s}.txt")
     iterator, image_ids = pascal_eval_iterator(
-        args.root_path, args.mode, cfg, args.preprocessing_type
+        args.root_path, args.mode, cfg, args.preprocessing_type,
+        image_format=image_format,
     )
     get_prediction_files(
         detector,

@@ -22,17 +22,22 @@ def main():
     p.add_argument("--data_type", default="pascal", choices=["pascal", "coco"])
     p.add_argument("--out", default=None, help="write box-overlay image here")
     p.add_argument("--score_threshold", type=float, default=0.3)
+    from tf_eager_object_detection_tpu.ref_import.cli import add_import_flags
+
+    add_import_flags(p)
     args = p.parse_args()
 
     from tf_eager_object_detection_tpu.config.config_factory import config_factory
     from tf_eager_object_detection_tpu.data.label_map import PASCAL_CLASSES
     from tf_eager_object_detection_tpu.models.model_factory import model_factory
-    from scripts.eval_pascal import load_checkpoint_params
+    from tf_eager_object_detection_tpu.ref_import.cli import load_checkpoint_params
 
     cfg = dict(config_factory(args.data_type, args.model_type))
     det = model_factory(args.model_type, args.backbone, cfg)
-    params = load_checkpoint_params(args.ckpt, det)
-    boxes, labels, scores = det.test_one_image(params, args.image)
+    params, image_format = load_checkpoint_params(det, args.ckpt, args)
+    boxes, labels, scores = det.test_one_image(
+        params, args.image, image_format=image_format
+    )
     keep = scores >= args.score_threshold
     boxes, labels, scores = boxes[keep], labels[keep], scores[keep]
     names = (

@@ -163,6 +163,7 @@ def coco_eval_iterator(
     cfg: dict,
     preprocessing_type: str = "caffe",
     num_workers: int = 4,
+    image_format: str = "bgr",
 ):
     """Returns (iterator of (image, image_hw, scale, raw_h, raw_w, img_id),
     dataset)."""
@@ -172,7 +173,7 @@ def coco_eval_iterator(
         path, _, _, h, w, img_id = ds.item(idx)
         image = _read_image(path)
         img, hw, scale, raw_h, raw_w = preprocess_eval_image(
-            image, cfg, preprocessing_type
+            image, cfg, preprocessing_type, image_format=image_format
         )
         return img, hw, scale, raw_h, raw_w, img_id
 

@@ -233,6 +233,7 @@ def pascal_eval_iterator_from_tf_records(
     cfg: dict,
     preprocessing_type: str = "caffe",
     num_workers: int = 4,
+    image_format: str = "bgr",
 ):
     """Eval iterator over tfrecords (the reference's
     `eval_pascal_tf_dataset.get_dataset_by_tf_records`, D4). Returns
@@ -249,7 +250,9 @@ def pascal_eval_iterator_from_tf_records(
 
     def load(rec):
         image, _, _ = parse_pascal_example(rec)
-        return preprocess_eval_image(image, cfg, preprocessing_type)
+        return preprocess_eval_image(
+            image, cfg, preprocessing_type, image_format=image_format
+        )
 
     def iterator():
         pool = ThreadPoolExecutor(num_workers)
@@ -270,6 +273,7 @@ def pascal_eval_iterator(
     cfg: dict,
     preprocessing_type: str = "caffe",
     num_workers: int = 4,
+    image_format: str = "bgr",
 ):
     """Returns (iterator of (image, image_hw, scale, raw_h, raw_w), image_ids).
 
@@ -288,7 +292,9 @@ def pascal_eval_iterator(
             from PIL import Image
 
             img = np.asarray(Image.open(path).convert("RGB"))
-        return preprocess_eval_image(img, cfg, preprocessing_type)
+        return preprocess_eval_image(
+            img, cfg, preprocessing_type, image_format=image_format
+        )
 
     def iterator():
         pool = ThreadPoolExecutor(num_workers)

@@ -325,7 +325,9 @@ class FasterRCNNDetector:
             target_stds=tuple(cfg["roi_proposal_stds"]),
         )
 
-    def test_one_image(self, params, img_path, preprocessing_type="caffe"):
+    def test_one_image(
+        self, params, img_path, preprocessing_type="caffe", image_format="bgr"
+    ):
         """Load + preprocess + predict one image file (debug API mirroring
         base_faster_rcnn_model.py:267-277). Host-side convenience."""
         import numpy as np_
@@ -343,7 +345,7 @@ class FasterRCNNDetector:
 
             img = np_.asarray(Image.open(img_path).convert("RGB"))
         padded, hw, scale, _, _ = preprocess_eval_image(
-            img, self.cfg, preprocessing_type
+            img, self.cfg, preprocessing_type, image_format=image_format
         )
         det = self.predict(params, jnp.asarray(padded), jnp.asarray(hw))
         v = np_.asarray(det.valid)

@@ -557,6 +557,36 @@ class FPNDetector:
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def test_one_image(
+        self, params, img_path, preprocessing_type="caffe", image_format="bgr"
+    ):
+        """Load + preprocess + predict one image file (debug API; the
+        faster_rcnn twin mirrors base_faster_rcnn_model.py:267-277)."""
+        import numpy as np_
+
+        from tf_eager_object_detection_tpu.data.preprocessing import (
+            preprocess_eval_image,
+        )
+
+        try:
+            import cv2
+
+            img = cv2.imread(img_path)[..., ::-1]
+        except Exception:
+            from PIL import Image
+
+            img = np_.asarray(Image.open(img_path).convert("RGB"))
+        padded, hw, scale, _, _ = preprocess_eval_image(
+            img, self.cfg, preprocessing_type, image_format=image_format
+        )
+        det = self.predict(params, jnp.asarray(padded), jnp.asarray(hw))
+        v = np_.asarray(det.valid)
+        return (
+            np_.asarray(det.boxes)[v] / scale,
+            np_.asarray(det.labels)[v],
+            np_.asarray(det.scores)[v],
+        )
+
     def im_detect(self, params, image, image_hw, scale):
         p_list, score_list, bbox_list = self._backbone_neck_rpn(params, image[None])
         rois, roi_valid, roi_softmax, roi_deltas = self._roi_forward(
