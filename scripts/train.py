@@ -27,6 +27,10 @@ def parse_args():
     p.add_argument("--coco_image_dir", default=None)
     p.add_argument("--logs_dir", default="./logs")
     p.add_argument("--restore_ckpt_path", default=None)
+    p.add_argument("--backbone_weights", default=None,
+                   help="pretrained backbone init: keras-applications .h5 "
+                        "path, URL, or the literal 'keras' (download the "
+                        "reference's file for --backbone by URL+md5)")
     p.add_argument("--batch_size", type=int, default=None,
                    help="per-device batch (default: config)")
     p.add_argument("--epochs", type=int, default=None)
@@ -67,6 +71,12 @@ def main():
         cfg["learning_rate_multi_lrs"] = [lr * scale for lr in lrs]
     detector = model_factory(args.model_type, args.backbone, cfg)
 
+    # Under DP the dataset yields the GLOBAL batch (per-device x n_devices);
+    # the Trainer shards it over the mesh (parallel/mesh.py).
+    global_batch = cfg["tpu_train_batch_size_per_device"]
+    if args.data_parallel:
+        global_batch *= len(jax.devices())
+
     if args.data_type == "pascal":
         records = sorted(glob.glob(os.path.join(args.tf_records_dir, "*train*.tfrecords")))
         if not records:
@@ -76,7 +86,7 @@ def main():
         data_cfg = {
             "model_config": cfg,
             "tf_records_list": records,
-            "batch_size": cfg["tpu_train_batch_size_per_device"],
+            "batch_size": global_batch,
             "preprocessing_type": args.preprocessing_type,
             "seed": args.seed,
         }
@@ -86,7 +96,7 @@ def main():
             "model_config": cfg,
             "annotation_file": args.coco_annotation_file,
             "image_dir": args.coco_image_dir,
-            "batch_size": cfg["tpu_train_batch_size_per_device"],
+            "batch_size": global_batch,
             "preprocessing_type": args.preprocessing_type,
             "seed": args.seed,
         }
@@ -100,6 +110,8 @@ def main():
         saving_every_n_steps=args.saving_every_n_steps,
         restore_ckpt_path=args.restore_ckpt_path,
         seed=args.seed,
+        data_parallel=args.data_parallel,
+        backbone_weights=args.backbone_weights,
     )
     epochs = args.epochs or cfg["epochs"]
     trainer.train(batches, epochs, args.steps_per_epoch)
