@@ -1,0 +1,124 @@
+"""Multi-host DCN data parallelism: 2 processes x 4 virtual CPU devices run
+the same DP train step as 1 process x 8 devices with identical numerics
+(SURVEY.md §5.8 "DCN only if multi-host later" — parallel/multihost.py).
+
+The parent runs the single-device oracle on the full global batch; two
+spawned jax.distributed workers (tests/_multihost_worker.py) each feed their
+local half of the batch via jax.make_array_from_process_local_data and run
+the sharded step over the global 8-device mesh.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from test_parallel import _batch, _small_cfg
+from tf_eager_object_detection_tpu.models.model_factory import model_factory
+from tf_eager_object_detection_tpu.training.optimizer import make_optimizer
+from tf_eager_object_detection_tpu.training.train_step import (
+    TrainState,
+    make_train_step,
+)
+
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_DIR = os.path.dirname(_TESTS_DIR)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_local_batch_slice_math():
+    from tf_eager_object_detection_tpu.parallel.multihost import local_batch_slice
+
+    mesh = __import__(
+        "tf_eager_object_detection_tpu.parallel.mesh", fromlist=["make_mesh"]
+    ).make_mesh(8)
+    # single process owns everything
+    assert local_batch_slice(16, mesh) == (0, 16)
+    with pytest.raises(ValueError, match="not divisible"):
+        local_batch_slice(9, mesh)
+
+
+@pytest.mark.slow
+def test_two_process_dp_matches_single_device(tmp_path):
+    if jax.default_backend() != "cpu":
+        pytest.skip("CPU-only multi-process test")
+
+    # oracle: single-device step on the full global batch
+    cfg = _small_cfg()
+    det = model_factory("faster_rcnn", "vgg16", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg, params, "vgg16")
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(det, opt)
+    state, metrics = step(state, _batch(cfg, 8), jax.random.PRNGKey(7))
+    leaves = jax.tree_util.tree_leaves(state.params)
+    want = {
+        "total_loss": float(metrics["total_loss"]),
+        "param_checksum": float(
+            sum(jnp.sum(jnp.abs(l).astype(jnp.float64)) for l in leaves)
+        ),
+        "probe_mean": float(np.asarray(leaves[0], np.float64).mean()),
+        "probe_std": float(np.asarray(leaves[0], np.float64).std()),
+    }
+
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    procs, outs = [], []
+    env_base = dict(os.environ)
+    env_base["PYTHONPATH"] = _REPO_DIR
+    env_base["JAX_PLATFORMS"] = "cpu"
+    for rank in range(2):
+        out = str(tmp_path / f"rank{rank}.json")
+        outs.append(out)
+        env = dict(env_base)
+        flags = [
+            f
+            for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ]
+        flags.append("--xla_force_host_platform_device_count=4")
+        env["XLA_FLAGS"] = " ".join(flags)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(_TESTS_DIR, "_multihost_worker.py"),
+                    coordinator,
+                    "2",
+                    str(rank),
+                    out,
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=1200)
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    results = [json.load(open(o)) for o in outs]
+    for got in results:
+        assert np.isfinite(got["total_loss"])
+        np.testing.assert_allclose(got["total_loss"], want["total_loss"], rtol=1e-5)
+        np.testing.assert_allclose(
+            got["param_checksum"], want["param_checksum"], rtol=1e-6
+        )
+        np.testing.assert_allclose(got["probe_mean"], want["probe_mean"], atol=1e-7)
+        np.testing.assert_allclose(got["probe_std"], want["probe_std"], atol=1e-7)
