@@ -1,11 +1,15 @@
 """End-to-end train-step benchmark on the real TPU chip.
 
-Measures steady-state Faster R-CNN (resnet50) train-step throughput in
-images/sec/chip at the reference's working resolution (600x1000-class images
-padded to the static 608x1008 bucket, batch 1 per reference semantics,
-scripts/train.py batch_size=1).
+Measures steady-state train-step throughput in images/sec/chip at the
+reference's working resolution (600x1000-class images padded to the static
+bucket, batch 1 per reference semantics, scripts/train.py batch_size=1).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Knobs (env): BENCH_MODEL=faster_rcnn|fpn, BENCH_BACKBONE=resnet50|...,
+BENCH_BATCH=N, BENCH_DTYPE=float32|bfloat16, BENCH_BUCKET=HxW,
+BENCH_PROFILE_DIR=dir.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"baseline_note"}.
 
 `vs_baseline`: the reference publishes no throughput numbers (SURVEY.md §6).
 The commonly-reported tf-faster-rcnn-era single-GPU training speed for this
@@ -40,15 +44,20 @@ def main():
 
     import os
 
-    cfg = dict(config_factory("pascal", "faster_rcnn"))
+    model_type = os.environ.get("BENCH_MODEL", "faster_rcnn")
+    cfg = dict(config_factory("pascal", model_type))
     cfg["tpu_compute_dtype"] = os.environ.get("BENCH_DTYPE", cfg["tpu_compute_dtype"])
     cfg["tpu_train_batch_size_per_device"] = int(
         os.environ.get("BENCH_BATCH", cfg["tpu_train_batch_size_per_device"])
     )
     backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
-    det = model_factory("faster_rcnn", backbone, cfg)
+    bucket = os.environ.get("BENCH_BUCKET")  # e.g. "608x1024": pad-shape A/B
+    if bucket:
+        bh, bw = (int(v) for v in bucket.split("x"))
+        cfg["tpu_image_buckets"] = [[bh, bw]]
+    det = model_factory(model_type, backbone, cfg)
     params = det.init_params(jax.random.PRNGKey(0))
-    opt = make_optimizer(cfg, params, backbone)
+    opt = make_optimizer(cfg, params, backbone, model_type)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     step = make_train_step(det, opt)
 
@@ -100,10 +109,15 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"faster_rcnn_{backbone}_train_step_throughput",
+                "metric": f"{model_type}_{backbone}_train_step_throughput",
                 "value": round(img_per_sec, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_sec / ASSUMED_BASELINE_IMG_PER_SEC, 3),
+                "baseline_note": (
+                    "reference publishes no throughput; vs_baseline assumes "
+                    f"{ASSUMED_BASELINE_IMG_PER_SEC} img/s (tf-faster-rcnn-era "
+                    "single-GPU training speed)"
+                ),
             }
         )
     )
