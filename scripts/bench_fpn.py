@@ -37,6 +37,9 @@ def main():
     phase = os.environ.get("BENCH_PHASE", "train")
     cfg = dict(config_factory("pascal", "fpn"))
     cfg["tpu_roi_align_impl"] = impl
+    cfg["tpu_roi_align_window_dtype"] = os.environ.get(
+        "BENCH_WINDOW_DTYPE", cfg.get("tpu_roi_align_window_dtype", "float32")
+    )
     cfg["tpu_compute_dtype"] = os.environ.get("BENCH_DTYPE", cfg["tpu_compute_dtype"])
     b = int(os.environ.get("BENCH_BATCH", "1"))
     cfg["tpu_train_batch_size_per_device"] = b
@@ -63,7 +66,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"fpn_{backbone}_im_detect_{impl}",
+                    "metric": f"fpn_{backbone}_im_detect_{impl}_" + cfg["tpu_roi_align_window_dtype"] + f"_b{b}",
                     "ms_per_step": round(dt / n_steps * 1e3, 2),
                     "images_per_sec": round(n_steps * b / dt, 2),
                 }
