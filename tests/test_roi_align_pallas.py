@@ -268,3 +268,66 @@ def test_fpn_predict_pallas_matches_einsum():
     )
     np.testing.assert_allclose(np.asarray(sm2), np.asarray(sm1), rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
+
+
+def test_pallas_roi_align_bf16_windows_close_to_f32():
+    """bf16 window DMA (tpu_roi_align_window_dtype): same sampling, feature
+    values quantized to bf16 — error bounded by ~2^-8 relative."""
+    rng = np.random.RandomState(5)
+    h, w, c = 64, 96, 8
+    ih, iw = 256.0, 384.0
+    feat = rng.randn(h, w, c).astype(np.float32)
+    rois = np.array(
+        [
+            [10.0, 20.0, 120.0, 100.0],
+            [200.0, 100.0, 340.0, 240.0],
+            [5.0, 5.0, 60.0, 48.0],
+        ],
+        np.float32,
+    )
+    active = np.ones(len(rois), np.int32)
+    kw = dict(interpret=True)
+    f32 = np.asarray(
+        pallas_roi_align_window(
+            jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(active),
+            ih, iw, 14, **kw,
+        )
+    )
+    bf16 = np.asarray(
+        pallas_roi_align_window(
+            jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(active),
+            ih, iw, 14, window_dtype=jnp.bfloat16, **kw,
+        )
+    )
+    # bilinear weights are convex: error <= max feature quantization error
+    scale = np.abs(feat).max()
+    assert np.abs(bf16 - f32).max() <= scale * 2.0**-7
+    # and the f32 path itself stays exact vs the reference einsum
+    want = _ref_crops(feat, rois, ih, iw, 14)
+    np.testing.assert_allclose(f32, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_roi_align_many_rois_mixed_active():
+    """Double-buffered DMA pipeline: a longer roi stream with interleaved
+    inactive rois (buffer pairing must survive skipped copies)."""
+    rng = np.random.RandomState(6)
+    h, w, c = 72, 80, 8
+    ih, iw = 288.0, 320.0
+    feat = rng.randn(h, w, c).astype(np.float32)
+    n = 33  # odd length: last roi exercises the no-next-copy epilogue
+    x1 = rng.uniform(0, iw - 40, n)
+    y1 = rng.uniform(0, ih - 40, n)
+    rois = np.stack(
+        [x1, y1, x1 + rng.uniform(5, 39, n), y1 + rng.uniform(5, 39, n)], 1
+    ).astype(np.float32)
+    active = (rng.rand(n) < 0.6).astype(np.int32)
+    active[0] = 0  # prologue skip
+    active[1] = 0  # consecutive skips
+    got = np.asarray(
+        pallas_roi_align_window(
+            jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(active),
+            ih, iw, 14, interpret=True,
+        )
+    )
+    want = _ref_crops(feat, rois, ih, iw, 14) * active[:, None, None, None]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -296,16 +296,28 @@ class FPNDetector:
         levels = jnp.floor(4.0 + jnp.log2(jnp.sqrt(wq * hq + 1e-8) / 224.0))
         return jnp.clip(levels, self.min_level, self.max_level).astype(jnp.int32)
 
-    def _use_pallas_roi_align(self) -> bool:
+    def _use_pallas_roi_align(self, training: bool = False) -> bool:
         impl = self.cfg.get("tpu_roi_align_impl", "einsum")
         if impl == "auto":
-            return jax.default_backend() == "tpu"
+            # Measured (BENCHLOG.md round 2): the windowed kernel wins eval
+            # (predict b4: 72.4 vs 81.6 ms/step einsum) but loses training
+            # (55.0 vs 51.3 ms — the custom_vjp backward pays the einsum
+            # transpose either way), so 'auto' is phase-aware.
+            return jax.default_backend() == "tpu" and not training
         return impl in ("pallas", "pallas_interpret")
 
     def _pallas_interpret(self) -> bool:
         return self.cfg.get("tpu_roi_align_impl") == "pallas_interpret"
 
-    def _roi_features(self, p_list_i, rois, image_hw):
+    def _pallas_window_dtype(self):
+        import jax.numpy as _jnp
+
+        name = self.cfg.get("tpu_roi_align_window_dtype", "float32")
+        if name not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown tpu_roi_align_window_dtype {name!r}")
+        return _jnp.bfloat16 if name == "bfloat16" else _jnp.float32
+
+    def _roi_features(self, p_list_i, rois, image_hw, training: bool = False):
         """Level-assigned RoIAlign via one-hot select over levels.
 
         p_list_i: per-level [h, w, c] maps for ONE image (p2..p5 used).
@@ -313,7 +325,7 @@ class FPNDetector:
         on the pallas path must use `_roi_features_batched`.
         """
         levels = self._roi_levels(rois)
-        if self._use_pallas_roi_align():
+        if self._use_pallas_roi_align(training):
             from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
                 pallas_roi_align_window,
             )
@@ -326,6 +338,7 @@ class FPNDetector:
                     image_hw[0], image_hw[1], s2,
                     interpret=self._pallas_interpret(),
                     level_stride=self.strides[i],
+                    window_dtype=self._pallas_window_dtype(),
                 )
             return max_pool_2x2_same(total)
         feats = 0.0
@@ -340,7 +353,7 @@ class FPNDetector:
             )
         return feats
 
-    def _roi_features_batched(self, p_list, rois, image_hw):
+    def _roi_features_batched(self, p_list, rois, image_hw, training: bool = False):
         """Batched level-assigned RoIAlign.
 
         p_list: per-level [B, h, w, c]; rois: [B, N, 4]; image_hw: [B, 2].
@@ -348,7 +361,7 @@ class FPNDetector:
         (scalar prefetch + manual DMA), so it takes the batch directly via
         row folding; the einsum path is vmapped as before.
         """
-        if not self._use_pallas_roi_align():
+        if not self._use_pallas_roi_align(training):
             if rois.shape[0] >= 4:
                 # the einsum path's per-image [N, S, W, C] intermediate is
                 # ~3.7 GB at P2 with 1000 test rois; vmap materializes it
@@ -356,10 +369,14 @@ class FPNDetector:
                 # (measured). Sequential per-image crops cap the peak at
                 # one image's worth.
                 return jax.lax.map(
-                    lambda args: self._roi_features(args[0], args[1], args[2]),
+                    lambda args: self._roi_features(
+                        args[0], args[1], args[2], training
+                    ),
                     (tuple(p_list), rois, image_hw),
                 )
-            return jax.vmap(self._roi_features)(tuple(p_list), rois, image_hw)
+            return jax.vmap(
+                lambda pl_, r_, hw_: self._roi_features(pl_, r_, hw_, training)
+            )(tuple(p_list), rois, image_hw)
         from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
             pallas_roi_align_window,
         )
@@ -373,6 +390,7 @@ class FPNDetector:
                 image_hw[:, 0], image_hw[:, 1], s2,
                 interpret=self._pallas_interpret(),
                 level_stride=self.strides[i],
+                window_dtype=self._pallas_window_dtype(),
             )
         b, n = total.shape[:2]
         pooled = max_pool_2x2_same(total.reshape((b * n,) + total.shape[2:]))
@@ -449,6 +467,7 @@ class FPNDetector:
             tuple(p_list[: self.max_level - self.min_level + 1]),
             pt.rois,
             image_hw,
+            training=True,
         )
         s = cfg["roi_total_sample_number"]
         roi_feats = roi_feats.reshape((b * s,) + roi_feats.shape[2:])

@@ -49,6 +49,20 @@ __all__ = ["pallas_roi_align_window", "WINDOW"]
 WINDOW = 64  # feature cells per side DMA'd for each roi
 
 
+def _window_copy(
+    feat_ref, sy8_ref, sxa_ref, j, win_ref, sem, c, lane_align, row_align
+):
+    """The roi-j window DMA descriptor (must be identical at start and wait)."""
+    return pltpu.make_async_copy(
+        feat_ref.at[
+            pl.ds(sy8_ref[j] * row_align, WINDOW),
+            pl.ds(sxa_ref[j] * (lane_align * c), WINDOW * c),
+        ],
+        win_ref,
+        sem,
+    )
+
+
 def _kernel(
     sy8_ref,
     sxa_ref,
@@ -56,14 +70,18 @@ def _kernel(
     coords_ref,
     feat_ref,
     out_ref,
-    win_ref,
-    sem,
+    win0_ref,
+    win1_ref,
+    sem0,
+    sem1,
     *,
     crop: int,
     c: int,
     lane_align: int,
+    row_align: int,
+    total: int,
 ):
-    """One roi per grid step.
+    """One roi per grid step, double-buffered window DMA.
 
     sy8/sxa/active: scalar-prefetch [BN] int32 — window origin row / 8
     (including the image's row base) and origin col / lane_align, plus the
@@ -71,30 +89,39 @@ def _kernel(
     Mosaic can prove the DMA slice start is tile-aligned (it cannot prove
     divisibility of an opaque scalar). coords_ref: [1, 2, crop] VMEM
     absolute sample coords (y row incl. base; x). feat_ref: [B*Hp, Wp*C] in
-    HBM. out_ref: [1, crop, crop*C] VMEM. win_ref: [WINDOW, WINDOW*C] VMEM
-    scratch; sem: DMA semaphore.
+    HBM. out_ref: [1, crop, crop*C] VMEM. win0/win1: [WINDOW, WINDOW*C] VMEM
+    scratch ping-pong buffers (roi j uses buffer j % 2); sem0/sem1: their DMA
+    semaphores.
+
+    Pipeline: grid step i waits for the copy issued at step i-1 (or its own
+    prologue copy at i == 0) into buffer i % 2, and starts roi i+1's copy
+    into buffer (i+1) % 2 — whose previous user, roi i-1, already finished —
+    so the next window streams in while this roi interpolates.
     """
     i = pl.program_id(0)
-    sy = sy8_ref[i] * 8
+    sy = sy8_ref[i] * row_align
     sx = sxa_ref[i] * lane_align
+
+    @pl.when(jnp.logical_and(i == 0, active_ref[i] != 0))
+    def _prologue():
+        _window_copy(feat_ref, sy8_ref, sxa_ref, i, win0_ref, sem0, c, lane_align, row_align).start()
+
+    nxt = jnp.minimum(i + 1, total - 1)  # clamped: only read under the guard
+    start_next = jnp.logical_and(i + 1 < total, active_ref[nxt] != 0)
+
+    @pl.when(jnp.logical_and(start_next, (i + 1) % 2 == 0))
+    def _start_next_even():
+        _window_copy(feat_ref, sy8_ref, sxa_ref, nxt, win0_ref, sem0, c, lane_align, row_align).start()
+
+    @pl.when(jnp.logical_and(start_next, (i + 1) % 2 == 1))
+    def _start_next_odd():
+        _window_copy(feat_ref, sy8_ref, sxa_ref, nxt, win1_ref, sem1, c, lane_align, row_align).start()
 
     @pl.when(active_ref[i] == 0)
     def _skip():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    @pl.when(active_ref[i] != 0)
-    def _compute():
-        copy = pltpu.make_async_copy(
-            feat_ref.at[
-                pl.ds(sy8_ref[i] * 8, WINDOW),
-                pl.ds(sxa_ref[i] * (lane_align * c), WINDOW * c),
-            ],
-            win_ref,
-            sem,
-        )
-        copy.start()
-        copy.wait()
-
+    def _interpolate(win_ref):
         ys = coords_ref[0, 0:1, :] - sy.astype(jnp.float32)  # [1, crop]
         xs = coords_ref[0, 1:2, :] - sx.astype(jnp.float32)
         # Mosaic only lowers integer iota
@@ -105,8 +132,20 @@ def _kernel(
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.transpose(ys) - cells))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.transpose(xs) - cells))
 
+        win = win_ref[:, :]
+        # Mosaic's default matmul contract precision is the MXU-native bf16
+        # multiply even for f32 operands (measured ~6e-3 relative error);
+        # f32 windows must request full fp32 contraction to stay exact vs
+        # the einsum path. bf16 windows keep the native precision (that IS
+        # their traffic/accuracy trade).
+        win_prec = (
+            None if win.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        )
         rows = jnp.dot(
-            wy, win_ref[:, :], preferred_element_type=jnp.float32
+            wy.astype(win.dtype),
+            win,
+            preferred_element_type=jnp.float32,
+            precision=win_prec,
         )  # [crop, WINDOW*C], y-interpolation done
         rows3 = rows.reshape(crop, WINDOW, c)
         # x-interpolation as a batched matmul over the crop rows:
@@ -117,8 +156,19 @@ def _kernel(
             rows3,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [y, x, C]
         out_ref[0] = out.reshape(crop, crop * c)
+
+    @pl.when(jnp.logical_and(active_ref[i] != 0, i % 2 == 0))
+    def _compute_even():
+        _window_copy(feat_ref, sy8_ref, sxa_ref, i, win0_ref, sem0, c, lane_align, row_align).wait()
+        _interpolate(win0_ref)
+
+    @pl.when(jnp.logical_and(active_ref[i] != 0, i % 2 == 1))
+    def _compute_odd():
+        _window_copy(feat_ref, sy8_ref, sxa_ref, i, win1_ref, sem1, c, lane_align, row_align).wait()
+        _interpolate(win1_ref)
 
 
 def pallas_roi_align_window(
@@ -130,6 +180,7 @@ def pallas_roi_align_window(
     crop_size: int,
     interpret: bool = False,
     level_stride: int | None = None,
+    window_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """FPN-style RoIAlign (roi_crop_fpn sampling) via the windowed kernel.
 
@@ -140,6 +191,9 @@ def pallas_roi_align_window(
     `level_stride`: when the map is a padded bucket grid, pass the pyramid
     level's stride so sample coords target the valid extent
     ceil(image_dim / stride) instead of the padded grid (see roi_crop_fpn).
+    `window_dtype`: jnp.bfloat16 halves the per-roi window DMA traffic (the
+    kernel's bottleneck); interpolation error vs the exact f32 path is
+    bounded by bf16's ~2^-8 relative step on the feature values.
     Returns [B, N, S, S, C] (or [N, S, S, C]) f32, S = crop_size.
 
     Differentiable in `features` (detection training backprops through
@@ -161,6 +215,7 @@ def pallas_roi_align_window(
         crop_size,
         interpret,
         level_stride,
+        jnp.dtype(window_dtype).name,
         features,
         jax.lax.stop_gradient(rois),
         act,
@@ -224,23 +279,27 @@ def _einsum_equiv(features, rois, act, ih, iw, crop_size, level_stride):
     return out * act[..., None, None, None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _roi_align_vjp(crop_size, interpret, level_stride, features, rois, act, ih, iw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _roi_align_vjp(
+    crop_size, interpret, level_stride, window_dtype, features, rois, act, ih, iw
+):
     return _pallas_forward(
-        features, rois, act, ih, iw, crop_size, interpret, level_stride
+        features, rois, act, ih, iw, crop_size, interpret, level_stride,
+        window_dtype,
     )
 
 
 def _roi_align_vjp_fwd(
-    crop_size, interpret, level_stride, features, rois, act, ih, iw
+    crop_size, interpret, level_stride, window_dtype, features, rois, act, ih, iw
 ):
     out = _pallas_forward(
-        features, rois, act, ih, iw, crop_size, interpret, level_stride
+        features, rois, act, ih, iw, crop_size, interpret, level_stride,
+        window_dtype,
     )
     return out, (features, rois, act, ih, iw)
 
 
-def _roi_align_vjp_bwd(crop_size, interpret, level_stride, res, g):
+def _roi_align_vjp_bwd(crop_size, interpret, level_stride, window_dtype, res, g):
     features, rois, act, ih, iw = res
     _, vjp = jax.vjp(
         lambda f: _einsum_equiv(f, rois, act, ih, iw, crop_size, level_stride),
@@ -260,7 +319,8 @@ _roi_align_vjp.defvjp(_roi_align_vjp_fwd, _roi_align_vjp_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("crop_size", "interpret", "level_stride")
+    jax.jit,
+    static_argnames=("crop_size", "interpret", "level_stride", "window_dtype"),
 )
 def _pallas_forward(
     features: jnp.ndarray,
@@ -271,6 +331,7 @@ def _pallas_forward(
     crop_size: int,
     interpret: bool = False,
     level_stride: int | None = None,
+    window_dtype: str = "float32",
 ) -> jnp.ndarray:
     b, h, w, c = features.shape
     n = rois.shape[1]
@@ -299,9 +360,11 @@ def _pallas_forward(
     xs = jnp.where(x_bad, -1e9, jnp.clip(xs, 0.0, bx[:, None, None]))
 
     # pad so a WINDOW-sized window always fits inside each image's rows;
-    # hp is rounded to the 8-row sublane tile so per-image row bases (b * hp)
-    # keep DMA origins 8-aligned
-    hp = -(-max(h, WINDOW) // 8) * 8
+    # hp is rounded to the sublane tile (8 rows f32, 16 rows bf16) so
+    # per-image row bases (b * hp) keep DMA origins tile-aligned
+    wdtype = jnp.dtype(window_dtype)
+    row_align = 16 if wdtype == jnp.bfloat16 else 8
+    hp = -(-max(h, WINDOW) // row_align) * row_align
     wp = max(w, WINDOW)
     if (hp, wp) != (h, w):
         features = jnp.pad(features, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
@@ -318,7 +381,7 @@ def _pallas_forward(
     # the row origin down to 8 and the column origin so sx*c is a lane-tile
     # multiple (a no-op when c is a multiple of 128). Costs only window
     # margin — worst case 57 usable rows, still over the ~40-cell span bound.
-    sy8 = (sy + row_base).reshape(b * n).astype(jnp.int32) // 8
+    sy8 = (sy + row_base).reshape(b * n).astype(jnp.int32) // row_align
     lane_align = 128 // math.gcd(c, 128)
     sxa = sx.reshape(b * n).astype(jnp.int32) // lane_align
 
@@ -337,14 +400,19 @@ def _pallas_forward(
         ],
         out_specs=pl.BlockSpec((1, s, s * c), lambda i, sy, sx, a: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((WINDOW, WINDOW * c), jnp.float32),
+            pltpu.VMEM((WINDOW, WINDOW * c), wdtype),
+            pltpu.VMEM((WINDOW, WINDOW * c), wdtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, crop=s, c=c, lane_align=lane_align),
+        functools.partial(
+            _kernel, crop=s, c=c, lane_align=lane_align,
+            row_align=row_align, total=b * n,
+        ),
         out_shape=jax.ShapeDtypeStruct((b * n, s, s * c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(sy8, sxa, act, coords, feat2d.astype(jnp.float32))
+    )(sy8, sxa, act, coords, feat2d.astype(wdtype))
     return out.reshape(b, n, s, s, c)
