@@ -28,6 +28,14 @@ def parse_args():
     p.add_argument("--use_07_metric", action="store_true", default=True)
     p.add_argument("--no_07_metric", dest="use_07_metric", action="store_false")
     p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
+    # reference eval_pascal.py:115: dataset_type 'cv2' reads JPEGs directly,
+    # 'tf' iterates eval tfrecords (our D4 twin)
+    p.add_argument("--dataset_type", default="cv2", choices=["cv2", "tf"])
+    p.add_argument("--tf_records_glob", default=None,
+                   help="with --dataset_type tf: glob of eval tfrecords")
+    # reference eval_pascal.py:126: evaluate existing result files without
+    # running the model
+    p.add_argument("--use_local_result_files", action="store_true")
     from tf_eager_object_detection_tpu.ref_import.cli import add_import_flags
 
     add_import_flags(p)
@@ -38,35 +46,55 @@ def main():
     args = parse_args()
     from tf_eager_object_detection_tpu.config.config_factory import config_factory
     from tf_eager_object_detection_tpu.data.label_map import PASCAL_CLASSES
-    from tf_eager_object_detection_tpu.data.pascal import pascal_eval_iterator
-    from tf_eager_object_detection_tpu.evaluation.pascal_eval_files import (
-        get_prediction_files,
-    )
     from tf_eager_object_detection_tpu.evaluation.voc_eval import voc_eval
-    from tf_eager_object_detection_tpu.models.model_factory import model_factory
-    from tf_eager_object_detection_tpu.ref_import.cli import load_checkpoint_params
 
     cfg = dict(config_factory("pascal", args.model_type))
-    detector = model_factory(args.model_type, args.backbone, cfg)
-    params, image_format = load_checkpoint_params(detector, args.ckpt, args)
-
     os.makedirs(args.result_dir, exist_ok=True)
     result_fmt = os.path.join(args.result_dir, "{:s}.txt")
-    iterator, image_ids = pascal_eval_iterator(
-        args.root_path, args.mode, cfg, args.preprocessing_type,
-        image_format=image_format,
-    )
-    get_prediction_files(
-        detector,
-        params,
-        iterator,
-        image_ids,
-        result_fmt,
-        score_threshold=cfg["prediction_score_threshold"],
-        nms_iou_threshold=cfg["prediction_nms_iou_threshold"],
-        max_objects_per_class=cfg["max_objects_per_class_per_image"],
-        max_objects_per_image=cfg["max_objects_per_image"],
-    )
+
+    if not args.use_local_result_files:
+        from tf_eager_object_detection_tpu.data.pascal import (
+            pascal_eval_iterator,
+            pascal_eval_iterator_from_tf_records,
+        )
+        from tf_eager_object_detection_tpu.evaluation.pascal_eval_files import (
+            get_prediction_files,
+        )
+        from tf_eager_object_detection_tpu.models.model_factory import model_factory
+        from tf_eager_object_detection_tpu.ref_import.cli import (
+            load_checkpoint_params,
+        )
+
+        detector = model_factory(args.model_type, args.backbone, cfg)
+        params, image_format = load_checkpoint_params(detector, args.ckpt, args)
+
+        if args.dataset_type == "tf":
+            import glob as _glob
+
+            if not args.tf_records_glob:
+                raise SystemExit("--dataset_type tf requires --tf_records_glob")
+            records = sorted(_glob.glob(args.tf_records_glob))
+            if not records:
+                raise FileNotFoundError(args.tf_records_glob)
+            iterator, image_ids = pascal_eval_iterator_from_tf_records(
+                records, cfg, args.preprocessing_type, image_format=image_format
+            )
+        else:
+            iterator, image_ids = pascal_eval_iterator(
+                args.root_path, args.mode, cfg, args.preprocessing_type,
+                image_format=image_format,
+            )
+        get_prediction_files(
+            detector,
+            params,
+            iterator,
+            image_ids,
+            result_fmt,
+            score_threshold=cfg["prediction_score_threshold"],
+            nms_iou_threshold=cfg["prediction_nms_iou_threshold"],
+            max_objects_per_class=cfg["max_objects_per_class_per_image"],
+            max_objects_per_image=cfg["max_objects_per_image"],
+        )
 
     annopath = os.path.join(args.root_path, "Annotations", "{:s}.xml")
     imageset = os.path.join(args.root_path, "ImageSets", "Main", f"{args.mode}.txt")
