@@ -331,3 +331,32 @@ def test_pallas_roi_align_many_rois_mixed_active():
     )
     want = _ref_crops(feat, rois, ih, iw, 14) * active[:, None, None, None]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_backward_overlapping_rois_matches_einsum_vjp():
+    """The windowed scatter-add backward (read-modify-write per roi) must
+    accumulate correctly for heavily overlapping windows, skip inactive
+    rois, and agree with the einsum-transpose backward."""
+    rng = np.random.RandomState(9)
+    h, w, c = 64, 96, 8
+    ih, iw = 256.0, 384.0
+    feat = rng.randn(h, w, c).astype(np.float32)
+    # rois piled on the same region -> every window overlaps
+    n = 9
+    x1 = rng.uniform(40, 80, n); y1 = rng.uniform(30, 60, n)
+    rois = np.stack([x1, y1, x1 + rng.uniform(20, 60, n),
+                     y1 + rng.uniform(20, 60, n)], 1).astype(np.float32)
+    active = np.ones(n, np.int32); active[3] = 0
+    cot = rng.randn(n, 14, 14, c).astype(np.float32)
+
+    def loss(f, backward):
+        out = pallas_roi_align_window(
+            f, jnp.asarray(rois), jnp.asarray(active), ih, iw, 14,
+            interpret=True, backward=backward,
+        )
+        return jnp.sum(out * jnp.asarray(cot))
+
+    g_window = np.asarray(jax.grad(lambda f: loss(f, "window"))(jnp.asarray(feat)))
+    g_einsum = np.asarray(jax.grad(lambda f: loss(f, "einsum"))(jnp.asarray(feat)))
+    np.testing.assert_allclose(g_window, g_einsum, rtol=1e-4, atol=1e-4)
+    assert np.abs(g_window).max() > 0.0

@@ -171,6 +171,82 @@ def _kernel(
         _interpolate(win1_ref)
 
 
+def _bwd_kernel(
+    sy8_ref,
+    sxa_ref,
+    active_ref,
+    coords_ref,
+    g_ref,
+    dfin_ref,
+    df_ref,
+    win_ref,
+    sem,
+    *,
+    crop: int,
+    c: int,
+    lane_align: int,
+    row_align: int,
+):
+    """VJP-w.r.t.-features of the windowed forward: one roi per grid step,
+    read-modify-write of the roi's window in the df plane (grid steps are
+    sequential on a TPU core, so overlapping roi windows accumulate without
+    atomics). dfin_ref is the zero-initialized plane aliased onto df_ref
+    (input_output_aliases); only df_ref is touched here.
+    """
+    del dfin_ref
+    i = pl.program_id(0)
+    sy = sy8_ref[i] * row_align
+    sx = sxa_ref[i] * lane_align
+
+    @pl.when(active_ref[i] != 0)
+    def _accumulate():
+        copy_in = _window_copy(
+            df_ref, sy8_ref, sxa_ref, i, win_ref, sem, c, lane_align, row_align
+        )
+        copy_in.start()
+        copy_in.wait()
+
+        ys = coords_ref[0, 0:1, :] - sy.astype(jnp.float32)  # [1, crop]
+        xs = coords_ref[0, 1:2, :] - sx.astype(jnp.float32)
+        cells = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, 1), 0).astype(
+            jnp.float32
+        )
+        # transposed tent weights [WINDOW, crop]
+        wyt = jnp.maximum(0.0, 1.0 - jnp.abs(cells - ys))
+        wxt = jnp.maximum(0.0, 1.0 - jnp.abs(cells - xs))
+
+        g2 = g_ref[0]  # [crop, crop*C]
+        t1 = jnp.dot(
+            wyt,
+            g2,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [WINDOW, crop*C] — y-transpose done
+        t13 = t1.reshape(WINDOW, crop, c)
+        # x-transpose as a batched matmul over the window rows:
+        # contrib[yc, xc, ch] = sum_x wxt[xc, x] * t13[yc, x, ch]
+        wxb = jnp.broadcast_to(wxt[None], (WINDOW, WINDOW, crop))
+        contrib = jax.lax.dot_general(
+            wxb,
+            t13,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [yc, xc, C]
+        win_ref[:, :] = win_ref[:, :] + contrib.reshape(WINDOW, WINDOW * c)
+
+        copy_out = pltpu.make_async_copy(
+            win_ref,
+            df_ref.at[
+                pl.ds(sy8_ref[i] * row_align, WINDOW),
+                pl.ds(sxa_ref[i] * (lane_align * c), WINDOW * c),
+            ],
+            sem,
+        )
+        copy_out.start()
+        copy_out.wait()
+
+
 def pallas_roi_align_window(
     features: jnp.ndarray,
     rois: jnp.ndarray,
@@ -181,6 +257,7 @@ def pallas_roi_align_window(
     interpret: bool = False,
     level_stride: int | None = None,
     window_dtype: jnp.dtype = jnp.float32,
+    backward: str = "window",
 ) -> jnp.ndarray:
     """FPN-style RoIAlign (roi_crop_fpn sampling) via the windowed kernel.
 
@@ -194,6 +271,11 @@ def pallas_roi_align_window(
     `window_dtype`: jnp.bfloat16 halves the per-roi window DMA traffic (the
     kernel's bottleneck); interpolation error vs the exact f32 path is
     bounded by bf16's ~2^-8 relative step on the feature values.
+    `backward`: 'window' (default) scatter-adds each roi's window into the
+    df plane with the same geometry as the forward — the exact VJP of the
+    windowed sampling, with no [N, S, W, C] transposes; 'einsum' keeps the
+    transpose-of-einsum backward (which also back-propagates the
+    out-of-window contributions the windowed forward never computed).
     Returns [B, N, S, S, C] (or [N, S, S, C]) f32, S = crop_size.
 
     Differentiable in `features` (detection training backprops through
@@ -211,11 +293,14 @@ def pallas_roi_align_window(
     ih = jnp.broadcast_to(jnp.asarray(image_height, jnp.float32), (b,))
     iw = jnp.broadcast_to(jnp.asarray(image_width, jnp.float32), (b,))
     act = (jnp.asarray(active) != 0).astype(jnp.float32)
+    if backward not in ("window", "einsum"):
+        raise ValueError(f"unknown backward {backward!r}")
     out = _roi_align_vjp(
         crop_size,
         interpret,
         level_stride,
         jnp.dtype(window_dtype).name,
+        backward,
         features,
         jax.lax.stop_gradient(rois),
         act,
@@ -279,9 +364,10 @@ def _einsum_equiv(features, rois, act, ih, iw, crop_size, level_stride):
     return out * act[..., None, None, None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _roi_align_vjp(
-    crop_size, interpret, level_stride, window_dtype, features, rois, act, ih, iw
+    crop_size, interpret, level_stride, window_dtype, backward,
+    features, rois, act, ih, iw,
 ):
     return _pallas_forward(
         features, rois, act, ih, iw, crop_size, interpret, level_stride,
@@ -290,7 +376,8 @@ def _roi_align_vjp(
 
 
 def _roi_align_vjp_fwd(
-    crop_size, interpret, level_stride, window_dtype, features, rois, act, ih, iw
+    crop_size, interpret, level_stride, window_dtype, backward,
+    features, rois, act, ih, iw,
 ):
     out = _pallas_forward(
         features, rois, act, ih, iw, crop_size, interpret, level_stride,
@@ -299,13 +386,23 @@ def _roi_align_vjp_fwd(
     return out, (features, rois, act, ih, iw)
 
 
-def _roi_align_vjp_bwd(crop_size, interpret, level_stride, window_dtype, res, g):
+def _roi_align_vjp_bwd(
+    crop_size, interpret, level_stride, window_dtype, backward, res, g
+):
     features, rois, act, ih, iw = res
-    _, vjp = jax.vjp(
-        lambda f: _einsum_equiv(f, rois, act, ih, iw, crop_size, level_stride),
-        features,
-    )
-    (df,) = vjp(g)
+    if backward == "window":
+        df = _pallas_backward(
+            g, features.shape, rois, act, ih, iw, crop_size, interpret,
+            level_stride,
+        )
+    else:
+        _, vjp = jax.vjp(
+            lambda f: _einsum_equiv(
+                f, rois, act, ih, iw, crop_size, level_stride
+            ),
+            features,
+        )
+        (df,) = vjp(g)
     return (
         df,
         jnp.zeros_like(rois),
@@ -318,27 +415,14 @@ def _roi_align_vjp_bwd(crop_size, interpret, level_stride, window_dtype, res, g)
 _roi_align_vjp.defvjp(_roi_align_vjp_fwd, _roi_align_vjp_bwd)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("crop_size", "interpret", "level_stride", "window_dtype"),
-)
-def _pallas_forward(
-    features: jnp.ndarray,
-    rois: jnp.ndarray,
-    active: jnp.ndarray,
-    image_height,
-    image_width,
-    crop_size: int,
-    interpret: bool = False,
-    level_stride: int | None = None,
-    window_dtype: str = "float32",
-) -> jnp.ndarray:
-    b, h, w, c = features.shape
-    n = rois.shape[1]
-    s = crop_size
+def _window_geometry(
+    rois, active, ih, iw, b, n, h, w, s, level_stride, row_align, c
+):
+    """Shared forward/backward geometry: per-roi window origins (tile-aligned,
+    pre-divided for Mosaic), absolute sample coords, active mask, and the
+    padded plane extents. The backward MUST use the identical geometry or the
+    VJP scatters to the wrong cells."""
     r = jax.lax.stop_gradient(rois)
-    ih = jnp.broadcast_to(jnp.asarray(image_height, jnp.float32), (b,))
-    iw = jnp.broadcast_to(jnp.asarray(image_width, jnp.float32), (b,))
     # TF crop_and_resize sampling rule on boxes normalized by image shape,
     # mapped onto each image's valid feature extent (see _coord_scales)
     gy, gx, by, bx = _coord_scales(ih, iw, h, w, level_stride)
@@ -362,13 +446,8 @@ def _pallas_forward(
     # pad so a WINDOW-sized window always fits inside each image's rows;
     # hp is rounded to the sublane tile (8 rows f32, 16 rows bf16) so
     # per-image row bases (b * hp) keep DMA origins tile-aligned
-    wdtype = jnp.dtype(window_dtype)
-    row_align = 16 if wdtype == jnp.bfloat16 else 8
     hp = -(-max(h, WINDOW) // row_align) * row_align
     wp = max(w, WINDOW)
-    if (hp, wp) != (h, w):
-        features = jnp.pad(features, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-    feat2d = features.reshape(b * hp, wp * c)
 
     # per-roi window origin: floor of the smallest in-range sample coord,
     # clamped inside this image's row span of the folded plane
@@ -378,9 +457,10 @@ def _pallas_forward(
     sy = jnp.clip(jnp.floor(jnp.where(jnp.isfinite(ymin), ymin, 0.0)), 0, hp - WINDOW)
     sx = jnp.clip(jnp.floor(jnp.where(jnp.isfinite(xmin), xmin, 0.0)), 0, wp - WINDOW)
     # Mosaic requires DMA slice origins aligned to the (8, 128) tile: round
-    # the row origin down to 8 and the column origin so sx*c is a lane-tile
-    # multiple (a no-op when c is a multiple of 128). Costs only window
-    # margin — worst case 57 usable rows, still over the ~40-cell span bound.
+    # the row origin down to the sublane tile and the column origin so sx*c
+    # is a lane-tile multiple (a no-op when c is a multiple of 128). Costs
+    # only window margin — worst case 57 usable rows (f32), still over the
+    # ~40-cell span bound.
     sy8 = (sy + row_base).reshape(b * n).astype(jnp.int32) // row_align
     lane_align = 128 // math.gcd(c, 128)
     sxa = sx.reshape(b * n).astype(jnp.int32) // lane_align
@@ -388,6 +468,37 @@ def _pallas_forward(
     coords = jnp.stack([ys + row_base[..., None], xs], axis=2)  # [B, N, 2, S]
     coords = coords.reshape(b * n, 2, s)
     act = (jnp.asarray(active) != 0).astype(jnp.int32).reshape(b * n)
+    return sy8, sxa, coords, act, hp, wp, lane_align
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("crop_size", "interpret", "level_stride", "window_dtype"),
+)
+def _pallas_forward(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    active: jnp.ndarray,
+    image_height,
+    image_width,
+    crop_size: int,
+    interpret: bool = False,
+    level_stride: int | None = None,
+    window_dtype: str = "float32",
+) -> jnp.ndarray:
+    b, h, w, c = features.shape
+    n = rois.shape[1]
+    s = crop_size
+    ih = jnp.broadcast_to(jnp.asarray(image_height, jnp.float32), (b,))
+    iw = jnp.broadcast_to(jnp.asarray(image_width, jnp.float32), (b,))
+    wdtype = jnp.dtype(window_dtype)
+    row_align = 16 if wdtype == jnp.bfloat16 else 8
+    sy8, sxa, coords, act, hp, wp, lane_align = _window_geometry(
+        rois, active, ih, iw, b, n, h, w, s, level_stride, row_align, c
+    )
+    if (hp, wp) != (h, w):
+        features = jnp.pad(features, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    feat2d = features.reshape(b * hp, wp * c)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -416,3 +527,69 @@ def _pallas_forward(
         interpret=interpret,
     )(sy8, sxa, act, coords, feat2d.astype(wdtype))
     return out.reshape(b, n, s, s, c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("feat_shape", "crop_size", "interpret", "level_stride"),
+)
+def _pallas_backward(
+    g: jnp.ndarray,
+    feat_shape,
+    rois: jnp.ndarray,
+    active: jnp.ndarray,
+    image_height,
+    image_width,
+    crop_size: int,
+    interpret: bool = False,
+    level_stride: int | None = None,
+) -> jnp.ndarray:
+    """df/dfeatures for the windowed forward: per-roi window scatter-add.
+
+    The einsum backward materializes [N, S, W, C] transposes (the dominant
+    layout copies in the FPN train profile); this kernel instead
+    read-modify-writes each active roi's 64-cell window in a zeroed df
+    plane (grid steps are sequential on a TPU core, so overlapping windows
+    accumulate race-free). Gradients always accumulate in f32.
+    """
+    b, h, w, c = feat_shape
+    n = rois.shape[1]
+    s = crop_size
+    ih = jnp.broadcast_to(jnp.asarray(image_height, jnp.float32), (b,))
+    iw = jnp.broadcast_to(jnp.asarray(image_width, jnp.float32), (b,))
+    row_align = 8  # f32 plane
+    sy8, sxa, coords, act, hp, wp, lane_align = _window_geometry(
+        rois, active, ih, iw, b, n, h, w, s, level_stride, row_align, c
+    )
+    g2 = g.reshape(b * n, s, s * c).astype(jnp.float32)
+    df0 = jnp.zeros((b * hp, wp * c), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b * n,),
+        in_specs=[
+            pl.BlockSpec((1, 2, s), lambda i, sy, sx, a: (i, 0, 0)),
+            pl.BlockSpec((1, s, s * c), lambda i, sy, sx, a: (i, 0, 0)),
+            # the zero-initialized df plane, aliased onto the output below
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((WINDOW, WINDOW * c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    df = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, crop=s, c=c, lane_align=lane_align,
+            row_align=row_align,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * hp, wp * c), jnp.float32),
+        grid_spec=grid_spec,
+        # flattened input index (incl. the 3 scalar-prefetch args):
+        # sy8=0 sxa=1 act=2 coords=3 g=4 df0=5 -> aliases output 0
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(sy8, sxa, act, coords, g2, df0)
+    df = df.reshape(b, hp, wp, c)[:, :h, :w, :]
+    return df
