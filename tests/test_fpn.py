@@ -97,3 +97,34 @@ def test_fpn_slim_backbone_variant():
     image = jnp.asarray(rng.randn(128, 128, 3).astype(np.float32))
     out = det.predict(params, image, jnp.asarray([128, 128], jnp.int32))
     assert np.isfinite(np.asarray(out.boxes)).all()
+
+
+def test_fpn_debug_apis():
+    """predict_rpns / predict_rois (reference base_fpn_model.py:326-362)."""
+    cfg = _small_cfg()
+    det = model_factory("fpn", "resnet50", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    h, w = cfg["tpu_image_buckets"][0]
+    image = jnp.asarray(np.random.RandomState(0).randn(h, w, 3), jnp.float32)
+    hw = jnp.asarray([h, w], jnp.int32)
+    g = cfg["tpu_max_gt_boxes"]
+    gt = np.zeros((g, 4), np.float32)
+    gt[0] = [8.0, 8.0, 60.0, 70.0]
+    gt[1] = [30.0, 40.0, 100.0, 110.0]
+    mask = np.zeros((g,), bool); mask[:2] = True
+    labels = np.zeros((g,), np.int32); labels[0] = 3; labels[1] = 9
+
+    anchors, pos = det.predict_rpns(
+        params, image, hw, jnp.asarray(gt), jnp.asarray(mask),
+        jax.random.PRNGKey(1),
+    )
+    assert anchors.shape[0] == pos.shape[0]
+    assert int(jnp.sum(pos)) > 0  # the gt boxes must match some anchors
+
+    pt = det.predict_rois(
+        params, image, hw, jnp.asarray(gt), jnp.asarray(mask),
+        jnp.asarray(labels), jax.random.PRNGKey(2),
+    )
+    assert pt.rois.shape == (cfg["roi_total_sample_number"], 4)
+    assert np.isfinite(np.asarray(pt.rois)).all()
+    assert set(np.unique(np.asarray(pt.labels))) <= {0, 3, 9}

@@ -576,6 +576,48 @@ class FPNDetector:
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def predict_rpns(self, params, image, image_hw, gt_boxes, gt_mask, rng):
+        """Positive RPN anchors for one image (debug API mirroring
+        base_fpn_model.py:326-339). Returns (anchors [A,4], positive_mask [A])
+        over the concatenation of all pyramid levels."""
+        cfg = self.cfg
+        p_list, _, _ = self._backbone_neck_rpn(params, image[None])
+        grids = tuple((p.shape[1], p.shape[2]) for p in p_list)
+        anchors = self.anchors_for_grids(grids)
+        at = anchor_target(
+            anchors, gt_boxes, gt_mask, image_hw[0], image_hw[1], rng,
+            pos_iou_threshold=cfg["rpn_pos_iou_threshold"],
+            neg_iou_threshold=cfg["rpn_neg_iou_threshold"],
+            total_num_samples=cfg["rpn_total_sample_number"],
+            max_pos_samples=cfg["rpn_pos_sample_max_number"],
+        )
+        return jnp.asarray(anchors), at.labels == 1
+
+    def predict_rois(
+        self, params, image, image_hw, gt_boxes, gt_mask, gt_labels, rng
+    ):
+        """Proposal-target training batch for one image (debug API mirroring
+        base_fpn_model.py:341-362)."""
+        cfg = self.cfg
+        p_list, score_list, bbox_list = self._backbone_neck_rpn(
+            params, image[None]
+        )
+        grids = tuple((p.shape[1], p.shape[2]) for p in p_list)
+        rois, roi_valid = self._rois_for_image(
+            [s[0] for s in score_list], [b_[0] for b_ in bbox_list],
+            grids, image_hw,
+        )
+        return proposal_target(
+            rois, roi_valid, gt_boxes, gt_mask, gt_labels, rng,
+            num_classes=self.num_classes,
+            pos_iou_threshold=cfg["roi_pos_iou_threshold"],
+            neg_iou_threshold=cfg["roi_neg_iou_threshold"],
+            total_num_samples=cfg["roi_total_sample_number"],
+            max_pos_samples=cfg["roi_pos_sample_max_number"],
+            target_means=tuple(cfg["roi_proposal_means"]),
+            target_stds=tuple(cfg["roi_proposal_stds"]),
+        )
+
     def test_one_image(
         self, params, img_path, preprocessing_type="caffe", image_format="bgr"
     ):
