@@ -6,15 +6,13 @@ bucket, batch 1 per reference semantics, scripts/train.py batch_size=1).
 
 Knobs (env): BENCH_MODEL=faster_rcnn|fpn, BENCH_BACKBONE=resnet50|...,
 BENCH_BATCH=N, BENCH_DTYPE=float32|bfloat16, BENCH_BUCKET=HxW,
-BENCH_PROFILE_DIR=dir.
+BENCH_PROFILE_DIR=dir, BENCH_EXTRA=0 (skip the extra b8-bf16 datapoint).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"baseline_note"}.
-
-`vs_baseline`: the reference publishes no throughput numbers (SURVEY.md §6).
-The commonly-reported tf-faster-rcnn-era single-GPU training speed for this
-model family is ~5 images/sec; vs_baseline is value / 5.0 against that
-stand-in until a measured CUDA-TF baseline exists.
+"baseline_note", "extras"}. The headline metric stays the reference-exact
+f32 batch-1 configuration; "extras" carries the measured
+batch-8 bfloat16 throughput of the same model (the documented fast path,
+BENCHLOG.md round 2) so regressions in it are driver-visible too.
 """
 
 import json
@@ -24,13 +22,9 @@ import time
 ASSUMED_BASELINE_IMG_PER_SEC = 5.0
 
 
-def main():
+def measure(model_type, backbone, batch=None, dtype=None, bucket=None,
+            profile_dir=None, n_steps=20):
     import jax
-
-    # Persistent compilation cache: repeat benchmark runs skip the multi-minute
-    # XLA compile (first run still pays it).
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -42,16 +36,11 @@ def main():
         make_train_step,
     )
 
-    import os
-
-    model_type = os.environ.get("BENCH_MODEL", "faster_rcnn")
     cfg = dict(config_factory("pascal", model_type))
-    cfg["tpu_compute_dtype"] = os.environ.get("BENCH_DTYPE", cfg["tpu_compute_dtype"])
-    cfg["tpu_train_batch_size_per_device"] = int(
-        os.environ.get("BENCH_BATCH", cfg["tpu_train_batch_size_per_device"])
-    )
-    backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
-    bucket = os.environ.get("BENCH_BUCKET")  # e.g. "608x1024": pad-shape A/B
+    if dtype:
+        cfg["tpu_compute_dtype"] = dtype
+    if batch:
+        cfg["tpu_train_batch_size_per_device"] = batch
     if bucket:
         bh, bw = (int(v) for v in bucket.split("x"))
         cfg["tpu_image_buckets"] = [[bh, bw]]
@@ -79,7 +68,8 @@ def main():
         )
         gt_mask[i, :n] = True
         gt_labels[i, :n] = rng.randint(1, 21, n)
-    batch = (images, image_hw, jnp.asarray(gt), jnp.asarray(gt_mask), jnp.asarray(gt_labels))
+    batch_t = (images, image_hw, jnp.asarray(gt), jnp.asarray(gt_mask),
+               jnp.asarray(gt_labels))
 
     # compile + warmup. NOTE: on this remote-TPU backend
     # jax.block_until_ready does NOT actually wait for execution (verified:
@@ -87,25 +77,52 @@ def main():
     # reliable sync is a device->host transfer, so the step returns a
     # `probe` scalar that transitively depends on every updated parameter
     # and we force it to host with float().
-    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    state, metrics = step(state, batch_t, jax.random.PRNGKey(0))
     float(metrics["probe"])
     for i in range(3):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i + 1))
+        state, metrics = step(state, batch_t, jax.random.PRNGKey(i + 1))
     float(metrics["probe"])
 
-    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i + 10))
+        state, metrics = step(state, batch_t, jax.random.PRNGKey(i + 10))
     float(metrics["probe"])  # device->host sync (see note above)
     dt = time.perf_counter() - t0
     if profile_dir:
         jax.profiler.stop_trace()
+    return n_steps * b / dt
 
-    img_per_sec = n_steps * b / dt
+
+def main():
+    import os
+
+    import jax
+
+    # Persistent compilation cache: repeat benchmark runs skip the multi-minute
+    # XLA compile (first run still pays it).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    model_type = os.environ.get("BENCH_MODEL", "faster_rcnn")
+    backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
+    img_per_sec = measure(
+        model_type,
+        backbone,
+        batch=int(os.environ["BENCH_BATCH"]) if os.environ.get("BENCH_BATCH") else None,
+        dtype=os.environ.get("BENCH_DTYPE"),
+        bucket=os.environ.get("BENCH_BUCKET"),
+        profile_dir=os.environ.get("BENCH_PROFILE_DIR"),
+    )
+    extras = {}
+    if os.environ.get("BENCH_EXTRA", "1") != "0" and not any(
+        os.environ.get(k)
+        for k in ("BENCH_BATCH", "BENCH_DTYPE", "BENCH_BUCKET", "BENCH_PROFILE_DIR")
+    ):
+        extras["b8_bfloat16_img_per_sec"] = round(
+            measure(model_type, backbone, batch=8, dtype="bfloat16"), 3
+        )
     print(
         json.dumps(
             {
@@ -118,6 +135,7 @@ def main():
                     f"{ASSUMED_BASELINE_IMG_PER_SEC} img/s (tf-faster-rcnn-era "
                     "single-GPU training speed)"
                 ),
+                "extras": extras,
             }
         )
     )
