@@ -1,0 +1,102 @@
+"""Serving export: AOT-compile `predict` to portable StableHLO artifacts.
+
+The reference has no serving story (eager python + a live checkpoint).
+For production deployment the TPU-native equivalent is `jax.export`: the
+jitted `predict(image, image_hw)` is traced once per static image bucket
+with the trained params baked in as constants, serialized to StableHLO,
+and reloaded anywhere (same or newer jax, matching platform) without the
+model code or checkpoint — the artifact IS the model.
+
+Layout of an export directory:
+
+    meta.json                    {model_type, backbone, num_classes,
+                                  buckets, platforms, format_version}
+    predict_{H}x{W}.stablehlo    one Exported blob per config bucket
+
+`load_predict` reloads the blobs and returns a callable that dispatches on
+the padded image shape and re-wraps the output as `Detections`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tf_eager_object_detection_tpu.ops.prediction import Detections
+
+__all__ = ["export_predict", "load_predict"]
+
+_FORMAT_VERSION = 1
+
+
+def export_predict(
+    detector,
+    params,
+    out_dir: str,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Export jitted predict for every config image bucket.
+
+    platforms: e.g. ("tpu",), ("cpu", "tpu") for a multi-platform artifact;
+    None exports for the current default backend.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    buckets = [tuple(b) for b in detector.cfg["tpu_image_buckets"]]
+
+    def fn(image, image_hw):
+        det = detector.predict(params, image, image_hw)
+        return tuple(det)  # NamedTuples need registration; plain tuple doesn't
+
+    for h, w in buckets:
+        exp = jax.export.export(
+            jax.jit(fn),
+            platforms=list(platforms) if platforms else None,
+        )(
+            jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        )
+        with open(os.path.join(out_dir, f"predict_{h}x{w}.stablehlo"), "wb") as f:
+            f.write(exp.serialize())
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "model_type": detector.model_type,
+        "backbone": detector.backbone,
+        "num_classes": detector.num_classes,
+        "buckets": [list(b) for b in buckets],
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
+def load_predict(export_dir: str):
+    """Load an export directory -> (predict callable, meta dict).
+
+    The callable takes (padded_image [H, W, 3] f32, image_hw [2] i32) where
+    (H, W) must be one of the exported buckets, and returns `Detections`.
+    """
+    with open(os.path.join(export_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(f"unsupported export format {meta.get('format_version')}")
+    fns: Dict[Tuple[int, int], object] = {}
+    for h, w in (tuple(b) for b in meta["buckets"]):
+        with open(os.path.join(export_dir, f"predict_{h}x{w}.stablehlo"), "rb") as f:
+            fns[(h, w)] = jax.export.deserialize(bytearray(f.read()))
+
+    def predict(image, image_hw) -> Detections:
+        key = tuple(int(d) for d in image.shape[:2])
+        if key not in fns:
+            raise ValueError(
+                f"image shape {key} is not an exported bucket {sorted(fns)}"
+            )
+        out = fns[key].call(jnp.asarray(image), jnp.asarray(image_hw))
+        return Detections(*out)
+
+    return predict, meta
