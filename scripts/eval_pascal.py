@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("ckpt", help="checkpoint dir (orbax) or params .npz")
+    p.add_argument("ckpt", nargs="?", default=None,
+                   help="checkpoint dir (orbax) or params .npz; optional "
+                        "with --use_local_result_files")
     p.add_argument("--root_path", required=True, help=".../VOCdevkit/VOC2007")
     p.add_argument("--model_type", default="faster_rcnn", choices=["faster_rcnn", "fpn"])
     p.add_argument("--backbone", default="resnet50",
@@ -53,6 +55,9 @@ def main():
     result_fmt = os.path.join(args.result_dir, "{:s}.txt")
 
     if not args.use_local_result_files:
+        if not args.ckpt:
+            raise SystemExit("a checkpoint is required unless "
+                             "--use_local_result_files is set")
         from tf_eager_object_detection_tpu.data.pascal import (
             pascal_eval_iterator,
             pascal_eval_iterator_from_tf_records,

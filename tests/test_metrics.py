@@ -98,6 +98,14 @@ def test_pred_overlay_written(tmp_path):
         cfg = {"show_image_score_threshold": 0.3,
                "bgr_pixel_means": (103.939, 116.779, 123.68)}
 
+        def predict(self, params, img, hw):
+            return Detections(
+                boxes=jnp.asarray([[2.0, 2.0, 10.0, 12.0], [0.0, 0.0, 4.0, 4.0]]),
+                labels=jnp.asarray([3, 7]),
+                scores=jnp.asarray([0.9, 0.1]),  # second one below threshold
+                valid=jnp.asarray([True, True]),
+            )
+
     class _State:
         params = {}
 
@@ -105,19 +113,13 @@ def test_pred_overlay_written(tmp_path):
     t.det = _Det()
     t.state = _State()
     t.writer = MetricWriter(d)
-    t._predict_jit = lambda params, img, hw: Detections(
-        boxes=jnp.asarray([[2.0, 2.0, 10.0, 12.0], [0.0, 0.0, 4.0, 4.0]]),
-        labels=jnp.asarray([3, 7]),
-        scores=jnp.asarray([0.9, 0.1]),   # second one below threshold
-        valid=jnp.asarray([True, True]),
-    )
     batch = {
         "images": np.zeros((1, 16, 16, 3), np.float32),
         "image_hw": np.asarray([[16, 16]], np.int32),
     }
     t._write_pred_overlay(5, batch)
     # below-threshold-only predictions write nothing (reference: skips)
-    t._predict_jit = lambda params, img, hw: Detections(
+    t.det.predict = lambda params, img, hw: Detections(
         boxes=jnp.zeros((1, 4)), labels=jnp.zeros((1,), jnp.int32),
         scores=jnp.asarray([0.05]), valid=jnp.asarray([True]),
     )

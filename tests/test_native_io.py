@@ -102,3 +102,17 @@ def test_python_fallback_index_checks_crc(tmp_path, monkeypatch):
         T.index_tfrecords(path, check_crc=True)
     # without check_crc, indexing still walks the framing
     assert len(T.index_tfrecords(path, check_crc=False)) == 2
+
+
+def test_python_fallback_index_truncated_file(tmp_path, monkeypatch):
+    """EOF inside a record must raise IOError, not struct.error."""
+    from tf_eager_object_detection_tpu.data import tfrecord as T
+
+    path = str(tmp_path / "trunc.tfrecords")
+    with T.TFRecordWriter(path) as w:
+        w.write(b"payload-bytes")
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[:-6])  # cut into the data/crc tail
+    monkeypatch.setattr(T, "_NATIVE", None)
+    with pytest.raises(IOError, match="truncated|corrupt"):
+        T.index_tfrecords(path, check_crc=True)

@@ -114,9 +114,12 @@ def index_tfrecords(path: str, check_crc: bool = False):
             hcrc_bytes = f.read(4)
             out.append((f.tell(), length))
             if check_crc:
-                (hcrc,) = struct.unpack("<I", hcrc_bytes)
                 data = f.read(length)
-                (dcrc,) = struct.unpack("<I", f.read(4))
+                dcrc_bytes = f.read(4)
+                if len(hcrc_bytes) < 4 or len(data) < length or len(dcrc_bytes) < 4:
+                    raise IOError(f"truncated tfrecord in {path}")
+                (hcrc,) = struct.unpack("<I", hcrc_bytes)
+                (dcrc,) = struct.unpack("<I", dcrc_bytes)
                 if _masked_crc(header) != hcrc or _masked_crc(data) != dcrc:
                     raise IOError(f"corrupt tfrecord in {path}")
             else:

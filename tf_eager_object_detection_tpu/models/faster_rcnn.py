@@ -330,29 +330,8 @@ class FasterRCNNDetector:
     ):
         """Load + preprocess + predict one image file (debug API mirroring
         base_faster_rcnn_model.py:267-277). Host-side convenience."""
-        import numpy as np_
-
-        from tf_eager_object_detection_tpu.data.preprocessing import (
-            preprocess_eval_image,
-        )
-
-        try:
-            import cv2
-
-            img = cv2.imread(img_path)[..., ::-1]
-        except Exception:
-            from PIL import Image
-
-            img = np_.asarray(Image.open(img_path).convert("RGB"))
-        padded, hw, scale, _, _ = preprocess_eval_image(
-            img, self.cfg, preprocessing_type, image_format=image_format
-        )
-        det = self.predict(params, jnp.asarray(padded), jnp.asarray(hw))
-        v = np_.asarray(det.valid)
-        return (
-            np_.asarray(det.boxes)[v] / scale,
-            np_.asarray(det.labels)[v],
-            np_.asarray(det.scores)[v],
+        return test_one_image_impl(
+            self, params, img_path, preprocessing_type, image_format
         )
 
     # --------------------------------------------------------------- predict
@@ -438,3 +417,36 @@ class FasterRCNNDetector:
             rois / scale,
             roi_valid,
         )
+
+
+def test_one_image_impl(
+    detector, params, img_path, preprocessing_type="caffe", image_format="bgr"
+):
+    """Shared load + preprocess + predict for any detector with a jitted
+    `predict(params, image, image_hw)` (reference
+    base_faster_rcnn_model.py:267-277). Returns (boxes/scale, labels, scores)
+    for valid detections, on the raw image's coordinates."""
+    import numpy as np_
+
+    from tf_eager_object_detection_tpu.data.preprocessing import (
+        preprocess_eval_image,
+    )
+
+    try:
+        import cv2
+
+        img = cv2.imread(img_path)[..., ::-1]
+    except Exception:
+        from PIL import Image
+
+        img = np_.asarray(Image.open(img_path).convert("RGB"))
+    padded, hw, scale, _, _ = preprocess_eval_image(
+        img, detector.cfg, preprocessing_type, image_format=image_format
+    )
+    det = detector.predict(params, jnp.asarray(padded), jnp.asarray(hw))
+    v = np_.asarray(det.valid)
+    return (
+        np_.asarray(det.boxes)[v] / scale,
+        np_.asarray(det.labels)[v],
+        np_.asarray(det.scores)[v],
+    )

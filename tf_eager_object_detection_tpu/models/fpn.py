@@ -575,7 +575,6 @@ class FPNDetector:
             roi_valid,
         )
 
-    @functools.partial(jax.jit, static_argnums=(0,))
     def predict_rpns(self, params, image, image_hw, gt_boxes, gt_mask, rng):
         """Positive RPN anchors for one image (debug API mirroring
         base_fpn_model.py:326-339). Returns (anchors [A,4], positive_mask [A])
@@ -623,31 +622,15 @@ class FPNDetector:
     ):
         """Load + preprocess + predict one image file (debug API; the
         faster_rcnn twin mirrors base_faster_rcnn_model.py:267-277)."""
-        import numpy as np_
-
-        from tf_eager_object_detection_tpu.data.preprocessing import (
-            preprocess_eval_image,
+        from tf_eager_object_detection_tpu.models.faster_rcnn import (
+            test_one_image_impl,
         )
 
-        try:
-            import cv2
-
-            img = cv2.imread(img_path)[..., ::-1]
-        except Exception:
-            from PIL import Image
-
-            img = np_.asarray(Image.open(img_path).convert("RGB"))
-        padded, hw, scale, _, _ = preprocess_eval_image(
-            img, self.cfg, preprocessing_type, image_format=image_format
-        )
-        det = self.predict(params, jnp.asarray(padded), jnp.asarray(hw))
-        v = np_.asarray(det.valid)
-        return (
-            np_.asarray(det.boxes)[v] / scale,
-            np_.asarray(det.labels)[v],
-            np_.asarray(det.scores)[v],
+        return test_one_image_impl(
+            self, params, img_path, preprocessing_type, image_format
         )
 
+    @functools.partial(jax.jit, static_argnums=(0,))
     def im_detect(self, params, image, image_hw, scale):
         p_list, score_list, bbox_list = self._backbone_neck_rpn(params, image[None])
         rois, roi_valid, roi_softmax, roi_deltas = self._roi_forward(

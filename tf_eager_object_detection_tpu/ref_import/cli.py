@@ -115,7 +115,8 @@ def load_checkpoint_params(detector, ckpt: str, args) -> Tuple[Dict, str]:
     if n_import_flags > 1:
         raise ValueError("pass at most one third-party-checkpoint flag")
 
-    init = jax.device_get(detector.init_params(jax.random.PRNGKey(0)))
+    def init():
+        return jax.device_get(detector.init_params(jax.random.PRNGKey(0)))
 
     if getattr(args, "use_tf_faster_rcnn_model", False):
         if detector.model_type != "faster_rcnn":
@@ -127,17 +128,17 @@ def load_checkpoint_params(detector, ckpt: str, args) -> Tuple[Dict, str]:
             name_map = name_maps.resnet_tf_faster_rcnn_map(
                 _backbone_depth(detector.backbone)
             )
-        return apply_name_map(init, tensors, name_map), "bgr"
+        return apply_name_map(init(), tensors, name_map), "bgr"
 
     if getattr(args, "use_fpn_tensorflow_model", False):
         if detector.model_type != "fpn":
             raise ValueError("--use_fpn_tensorflow_model needs --model_type fpn")
         tensors = load_tf_checkpoint_dict(ckpt)
         name_map = name_maps.fpn_tensorflow_map(_backbone_depth(detector.backbone))
-        return apply_name_map(init, tensors, name_map), "rgb"
+        return apply_name_map(init(), tensors, name_map), "rgb"
 
     if getattr(args, "keras_h5", False):
-        return load_keras_h5(init, ckpt, _keras_modules(detector)), "bgr"
+        return load_keras_h5(init(), ckpt, _keras_modules(detector)), "bgr"
 
     # default: our own checkpoints (orbax dir or params .npz)
     from tf_eager_object_detection_tpu.training.checkpoints import (

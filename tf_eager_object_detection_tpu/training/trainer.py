@@ -137,7 +137,6 @@ class Trainer:
         self.summary_every = summary_every_n_steps
         self.saving_every = saving_every_n_steps
         self.rng = jax.random.PRNGKey(seed + 1)
-        self._predict_jit = None
 
     def train_one_epoch(self, batches: Iterator[dict], steps: Optional[int] = None):
         t_start = time.time()
@@ -215,11 +214,10 @@ class Trainer:
         try:
             from tf_eager_object_detection_tpu.utils.visual import show_one_image
 
-            if self._predict_jit is None:
-                self._predict_jit = jax.jit(self.det.predict)
             img = jnp.asarray(batch["images"][0])
             hw = jnp.asarray(batch["image_hw"][0])
-            det = self._predict_jit(self.state.params, img, hw)
+            # detector.predict is already jit-compiled at class level
+            det = self.det.predict(self.state.params, img, hw)
             thr = self.det.cfg.get("show_image_score_threshold", 0.3)
             keep = np.asarray(det.valid) & (np.asarray(det.scores) >= thr)
             if not keep.any():
