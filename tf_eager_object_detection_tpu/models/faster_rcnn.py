@@ -380,13 +380,30 @@ class FasterRCNNDetector:
             num_classes=self.num_classes,
         )
 
-    @functools.partial(jax.jit, static_argnums=(0,))
     def im_detect_batch(self, params, images, image_hw, scales):
         """Batched im_detect: images [B, Hp, Wp, 3], image_hw [B, 2],
         scales [B] -> per-image stacked outputs. The backbone runs batched on
-        the MXU; the per-image proposal/RoI path is vmapped."""
-        feats, score_map, bbox_map = self._backbone_rpn(params, images)
+        the MXU; the per-image proposal/RoI path is vmapped.
 
+        Deliberately TWO jitted programs (backbone+RPN, then the RoI stage)
+        rather than one: fusing them crashes the TPU runtime at batch 8 with
+        bfloat16 compute (a deterministic XLA:TPU kernel fault — each half
+        runs fine alone, f32 fuses fine, bf16 training fuses fine; see
+        BENCHLOG.md round 2). The extra dispatch is noise at eval cadence.
+        """
+        feats, score_map, bbox_map = self._backbone_rpn_jit(params, images)
+        return self._im_detect_roi_stage(
+            params, feats, score_map, bbox_map, image_hw, scales
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _backbone_rpn_jit(self, params, images):
+        return self._backbone_rpn(params, images)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _im_detect_roi_stage(
+        self, params, feats, score_map, bbox_map, image_hw, scales
+    ):
         def one(feat_i, score_i, bbox_i, hw_i, scale_i):
             rois, roi_valid, roi_softmax, roi_deltas = self._roi_forward(
                 params, feat_i, score_i, bbox_i, hw_i
