@@ -134,3 +134,24 @@ def test_adam_optimizer_option():
     cfg_bad["optimizer_type"] = "bogus"
     with pytest.raises(ValueError, match="optimizer_type"):
         make_optimizer(cfg_bad, params, "vgg16")
+
+
+def test_im_detect_batch_matches_single():
+    """im_detect_batch (two jitted stages — split to dodge an XLA:TPU fused
+    kernel fault at b8 bf16, see BENCHLOG round 2) must equal per-image
+    im_detect."""
+    cfg = _small_config()
+    cfg["tpu_image_buckets"] = [[96, 96]]
+    det = model_factory("faster_rcnn", "vgg16", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    images, image_hw, *_ = _batch(rng, b=2, h=96, w=96)
+    scales = jnp.asarray([1.0, 1.25], jnp.float32)
+
+    sm_b, d_b, r_b, v_b = det.im_detect_batch(params, images, image_hw, scales)
+    for i in range(2):
+        sm, d, r, v = det.im_detect(params, images[i], image_hw[i], scales[i])
+        np.testing.assert_allclose(np.asarray(sm_b[i]), np.asarray(sm), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d_b[i]), np.asarray(d), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r_b[i]), np.asarray(r), rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(v_b[i]), np.asarray(v))
