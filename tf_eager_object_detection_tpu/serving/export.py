@@ -43,6 +43,12 @@ def export_predict(
 
     platforms: e.g. ("tpu",), ("cpu", "tpu") for a multi-platform artifact;
     None exports for the current default backend.
+
+    Note: the FPN `tpu_roi_align_impl='auto'` path resolves its
+    einsum-vs-Pallas choice at trace time from the current backend, so
+    export FPN models on (or with platforms including only) the platform
+    they will serve on — a Pallas kernel baked into the artifact only runs
+    on TPU.
     """
     os.makedirs(out_dir, exist_ok=True)
     params = jax.tree_util.tree_map(jnp.asarray, params)
