@@ -390,7 +390,24 @@ class FasterRCNNDetector:
         bfloat16 compute (a deterministic XLA:TPU kernel fault — each half
         runs fine alone, f32 fuses fine, bf16 training fuses fine; see
         BENCHLOG.md round 2). The extra dispatch is noise at eval cadence.
+
+        NOTE: calling this under an OUTER jit/pmap/shard_map inlines and
+        re-fuses the two stages, silently reinstating the crash risk — hence
+        the warning below. For multi-chip eval, shard each stage separately
+        (or shard over images on the host).
         """
+        tracer_t = getattr(jax.core, "Tracer", None) or __import__(
+            "jax._src.core", fromlist=["Tracer"]
+        ).Tracer
+        if isinstance(images, tracer_t):
+            import warnings
+
+            warnings.warn(
+                "im_detect_batch traced inside an outer jit: its two-program "
+                "split (XLA:TPU b8-bf16 crash workaround, BENCHLOG round 2) "
+                "is lost by inlining",
+                stacklevel=2,
+            )
         feats, score_map, bbox_map = self._backbone_rpn_jit(params, images)
         return self._im_detect_roi_stage(
             params, feats, score_map, bbox_map, image_hw, scales

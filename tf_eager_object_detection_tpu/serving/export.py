@@ -44,11 +44,15 @@ def export_predict(
     platforms: e.g. ("tpu",), ("cpu", "tpu") for a multi-platform artifact;
     None exports for the current default backend.
 
-    Note: the FPN `tpu_roi_align_impl='auto'` path resolves its
-    einsum-vs-Pallas choice at trace time from the current backend, so
-    export FPN models on (or with platforms including only) the platform
-    they will serve on — a Pallas kernel baked into the artifact only runs
-    on TPU.
+    Note: the FPN `tpu_roi_align_impl='auto'` setting resolves its
+    einsum-vs-Pallas choice from `jax.default_backend()` at TRACE time —
+    the `platforms` argument does NOT influence it. When exporting an FPN
+    model from a host whose default backend differs from the serving
+    platform, set `tpu_roi_align_impl` explicitly ('pallas' for TPU
+    serving, 'einsum' otherwise) in the detector config before exporting;
+    a Pallas kernel baked into the artifact runs only on TPU, and an
+    einsum path baked from a CPU host forgoes the kernel's measured
+    serving win (BENCHLOG.md) with no warning.
     """
     os.makedirs(out_dir, exist_ok=True)
     params = jax.tree_util.tree_map(jnp.asarray, params)
