@@ -48,23 +48,31 @@ def measure(model_type, backbone, batch=None, dtype=None, bucket=None,
     params = det.init_params(jax.random.PRNGKey(0))
     opt = make_optimizer(cfg, params, backbone, model_type)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
-    step = make_train_step(det, opt)
+    step = make_train_step(det, opt, with_probe=True)
 
     b = cfg["tpu_train_batch_size_per_device"]
     h, w = cfg["tpu_image_buckets"][0]
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
-    image_hw = jnp.asarray([[600, 1000]] * b, jnp.int32)
+    # valid extent must fit inside the (possibly overridden) padded bucket
+    vh, vw = min(600, h), min(1000, w)
+    image_hw = jnp.asarray([[vh, vw]] * b, jnp.int32)
     g = cfg["tpu_max_gt_boxes"]
     gt = np.zeros((b, g, 4), np.float32)
     gt_mask = np.zeros((b, g), bool)
     gt_labels = np.zeros((b, g), np.int32)
     for i in range(b):
         n = 4
-        x1 = rng.uniform(0, 800, n)
-        y1 = rng.uniform(0, 400, n)
+        x1 = rng.uniform(0, 0.8 * vw, n)
+        y1 = rng.uniform(0, 0.6 * vh, n)
         gt[i, :n] = np.stack(
-            [x1, y1, x1 + rng.uniform(30, 180, n), y1 + rng.uniform(30, 180, n)], 1
+            [
+                x1,
+                y1,
+                np.minimum(x1 + rng.uniform(30, 180, n), vw - 1),
+                np.minimum(y1 + rng.uniform(30, 180, n), vh - 1),
+            ],
+            1,
         )
         gt_mask[i, :n] = True
         gt_labels[i, :n] = rng.randint(1, 21, n)

@@ -76,7 +76,7 @@ def main():
 
     opt = make_optimizer(cfg, params, backbone)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
-    step = make_train_step(det, opt)
+    step = make_train_step(det, opt, with_probe=True)
 
     h, w = cfg["tpu_image_buckets"][0]
     rng = np.random.RandomState(0)

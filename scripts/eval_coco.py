@@ -24,6 +24,9 @@ def parse_args():
                    choices=["vgg16", "resnet50", "resnet101", "resnet152"])
     p.add_argument("--results_json", default="./coco_results.json")
     p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
+    p.add_argument("--config_override", action="append", default=[],
+                   metavar="KEY=JSON",
+                   help="override a single config key (JSON value; repeatable)")
     from tf_eager_object_detection_tpu.ref_import.cli import add_import_flags
 
     add_import_flags(p)
@@ -35,7 +38,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.config.config_factory import (
+        apply_config_overrides,
+        config_factory,
+    )
     from tf_eager_object_detection_tpu.data.coco import coco_eval_iterator
     from tf_eager_object_detection_tpu.evaluation.coco_eval import (
         evaluate_coco_detections,
@@ -46,7 +52,9 @@ def main():
     from tf_eager_object_detection_tpu.models.model_factory import model_factory
     from tf_eager_object_detection_tpu.ref_import.cli import load_checkpoint_params
 
-    cfg = dict(config_factory("coco", args.model_type))
+    cfg = apply_config_overrides(
+        dict(config_factory("coco", args.model_type)), args.config_override
+    )
     detector = model_factory(args.model_type, args.backbone, cfg)
     params, image_format = load_checkpoint_params(detector, args.ckpt, args)
 

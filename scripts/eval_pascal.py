@@ -38,6 +38,9 @@ def parse_args():
     # reference eval_pascal.py:126: evaluate existing result files without
     # running the model
     p.add_argument("--use_local_result_files", action="store_true")
+    p.add_argument("--config_override", action="append", default=[],
+                   metavar="KEY=JSON",
+                   help="override a single config key (JSON value; repeatable)")
     from tf_eager_object_detection_tpu.ref_import.cli import add_import_flags
 
     add_import_flags(p)
@@ -46,11 +49,16 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.config.config_factory import (
+        apply_config_overrides,
+        config_factory,
+    )
     from tf_eager_object_detection_tpu.data.label_map import PASCAL_CLASSES
     from tf_eager_object_detection_tpu.evaluation.voc_eval import voc_eval
 
-    cfg = dict(config_factory("pascal", args.model_type))
+    cfg = apply_config_overrides(
+        dict(config_factory("pascal", args.model_type)), args.config_override
+    )
     os.makedirs(args.result_dir, exist_ok=True)
     result_fmt = os.path.join(args.result_dir, "{:s}.txt")
 

@@ -22,17 +22,25 @@ def main():
     p.add_argument("--data_type", default="pascal", choices=["pascal", "coco"])
     p.add_argument("--out", default=None, help="write box-overlay image here")
     p.add_argument("--score_threshold", type=float, default=0.3)
+    p.add_argument("--config_override", action="append", default=[],
+                   metavar="KEY=JSON",
+                   help="override a single config key (JSON value; repeatable)")
     from tf_eager_object_detection_tpu.ref_import.cli import add_import_flags
 
     add_import_flags(p)
     args = p.parse_args()
 
-    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.config.config_factory import (
+        apply_config_overrides,
+        config_factory,
+    )
     from tf_eager_object_detection_tpu.data.label_map import PASCAL_CLASSES
     from tf_eager_object_detection_tpu.models.model_factory import model_factory
     from tf_eager_object_detection_tpu.ref_import.cli import load_checkpoint_params
 
-    cfg = dict(config_factory(args.data_type, args.model_type))
+    cfg = apply_config_overrides(
+        dict(config_factory(args.data_type, args.model_type)), args.config_override
+    )
     det = model_factory(args.model_type, args.backbone, cfg)
     params, image_format = load_checkpoint_params(det, args.ckpt, args)
     boxes, labels, scores = det.test_one_image(

@@ -46,6 +46,10 @@ def parse_args():
     p.add_argument("--learning_rate", type=float, default=None,
                    help="override the initial LR (later LRs scale accordingly)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--config_override", action="append", default=[],
+                   metavar="KEY=JSON",
+                   help="override a single config key (value parsed as JSON; "
+                        "repeatable), e.g. --config_override image_min_size=96")
     return p.parse_args()
 
 
@@ -55,12 +59,17 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.config.config_factory import (
+        apply_config_overrides,
+        config_factory,
+    )
     from tf_eager_object_detection_tpu.data.dataset_factory import dataset_factory
     from tf_eager_object_detection_tpu.models.model_factory import model_factory
     from tf_eager_object_detection_tpu.training.trainer import Trainer
 
-    cfg = dict(config_factory(args.data_type, args.model_type))
+    cfg = apply_config_overrides(
+        dict(config_factory(args.data_type, args.model_type)), args.config_override
+    )
     if args.batch_size:
         cfg["tpu_train_batch_size_per_device"] = args.batch_size
     if args.compute_dtype:

@@ -25,3 +25,26 @@ def config_factory(data_type, model_type):
     raise ValueError(
         f"config for dataset type {data_type} and model type {model_type} doesn't exist"
     )
+
+
+def apply_config_overrides(cfg, overrides):
+    """Apply CLI `KEY=JSON` override strings to a config dict, in place.
+
+    TPU-build extension over the reference's fixed presets (SURVEY §5.6:
+    the reference has no per-key CLI overrides; editing presets required
+    code changes). Values parse as JSON; bare strings need no quotes.
+    Unknown keys raise (catches typos against the preset inventory).
+    """
+    import json
+
+    for item in overrides:
+        key, sep, raw = item.partition("=")
+        if not sep:
+            raise ValueError(f"config override expects KEY=JSON, got {item!r}")
+        if key not in cfg:
+            raise KeyError(f"unknown config key {key!r}")
+        try:
+            cfg[key] = json.loads(raw)
+        except json.JSONDecodeError:
+            cfg[key] = raw
+    return cfg

@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -163,7 +163,7 @@ def coco_eval_iterator(
     cfg: dict,
     preprocessing_type: str = "caffe",
     num_workers: int = 4,
-    image_format: str = "bgr",
+    image_format: Optional[str] = None,
 ):
     """Returns (iterator of (image, image_hw, scale, raw_h, raw_w, img_id),
     dataset)."""

@@ -20,7 +20,7 @@ import io
 import os
 import random
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, List, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -233,7 +233,7 @@ def pascal_eval_iterator_from_tf_records(
     cfg: dict,
     preprocessing_type: str = "caffe",
     num_workers: int = 4,
-    image_format: str = "bgr",
+    image_format: Optional[str] = None,
 ):
     """Eval iterator over tfrecords (the reference's
     `eval_pascal_tf_dataset.get_dataset_by_tf_records`, D4). Returns
@@ -273,7 +273,7 @@ def pascal_eval_iterator(
     cfg: dict,
     preprocessing_type: str = "caffe",
     num_workers: int = 4,
-    image_format: str = "bgr",
+    image_format: Optional[str] = None,
 ):
     """Returns (iterator of (image, image_hw, scale, raw_h, raw_w), image_ids).
 

@@ -19,7 +19,7 @@ numerics match the reference modulo conv boundary effects at the pad seam.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -170,28 +170,33 @@ def preprocess_eval_image(
     image_rgb: np.ndarray,
     cfg: dict,
     preprocessing_type: str = "caffe",
-    image_format: str = "bgr",
+    image_format: Optional[str] = None,
 ):
     """One eval image -> (padded image, image_hw, scale, raw_h, raw_w).
 
     Matches `preprocessing_eval_func` (tf_dataset_utils.py:129-154).
 
-    image_format: channel order fed to the model. 'bgr' (default, caffe
-    convention) or 'rgb' for models trained on RGB input — the
-    FPN_Tensorflow import path (reference eval_pascal_tf_dataset.py:50-51:
-    subtract means in BGR order, then reverse channels).
+    image_format: channel order fed to the model. None = the native order
+    of the preprocessing type (caffe -> BGR, tf -> RGB, exactly the
+    reference's behavior). 'rgb'/'bgr' request that order explicitly —
+    the flip is applied uniformly after normalization, whatever the
+    preprocessing type ('rgb' + caffe is the FPN_Tensorflow import path,
+    reference eval_pascal_tf_dataset.py:50-51: subtract means in BGR
+    order, then reverse channels).
     """
-    if image_format not in ("bgr", "rgb"):
+    if image_format not in (None, "bgr", "rgb"):
         raise ValueError(f"unknown image format {image_format}")
     h, w = image_rgb.shape[:2]
     if preprocessing_type == "caffe":
         img = caffe_normalize(image_rgb, cfg["bgr_pixel_means"])
-        if image_format == "rgb":
-            img = img[..., ::-1]
+        native = "bgr"
     elif preprocessing_type == "tf":
         img = tf_normalize(image_rgb)
+        native = "rgb"
     else:
         raise ValueError(preprocessing_type)
+    if image_format is not None and image_format != native:
+        img = img[..., ::-1]
     scale = compute_scale(h, w, cfg["image_min_size"], cfg["image_max_size"])
     img = resize_image(img, scale)
     nh, nw = img.shape[:2]

@@ -105,18 +105,9 @@ def get_prediction_files(
         images = jnp.asarray(np.stack([g[0] for g in group]))
         hws = jnp.asarray(np.stack([g[1] for g in group]))
         scales = jnp.asarray(np.asarray([g[2] for g in group], np.float32))
-        if hasattr(detector, "im_detect_batch"):
-            sm, deltas, rois, roi_valid = detector.im_detect_batch(
-                params, images, hws, scales
-            )
-        else:  # per-image fallback (FPN until its batched path lands)
-            outs = [
-                detector.im_detect(params, images[i], hws[i], scales[i])
-                for i in range(len(group))
-            ]
-            sm, deltas, rois, roi_valid = (
-                jnp.stack([o[k] for o in outs]) for k in range(4)
-            )
+        sm, deltas, rois, roi_valid = detector.im_detect_batch(
+            params, images, hws, scales
+        )
         for i, img_idx in enumerate(indices):
             raw_h, raw_w = group[i][3], group[i][4]
             boxes_c, scores_c, valid_c = eval_post_process(

@@ -326,7 +326,7 @@ class FasterRCNNDetector:
         )
 
     def test_one_image(
-        self, params, img_path, preprocessing_type="caffe", image_format="bgr"
+        self, params, img_path, preprocessing_type="caffe", image_format=None
     ):
         """Load + preprocess + predict one image file (debug API mirroring
         base_faster_rcnn_model.py:267-277). Host-side convenience."""
@@ -396,10 +396,8 @@ class FasterRCNNDetector:
         the warning below. For multi-chip eval, shard each stage separately
         (or shard over images on the host).
         """
-        tracer_t = getattr(jax.core, "Tracer", None) or __import__(
-            "jax._src.core", fromlist=["Tracer"]
-        ).Tracer
-        if isinstance(images, tracer_t):
+        tracer_t = getattr(jax.core, "Tracer", None)
+        if tracer_t is not None and isinstance(images, tracer_t):
             import warnings
 
             warnings.warn(
@@ -454,7 +452,7 @@ class FasterRCNNDetector:
 
 
 def test_one_image_impl(
-    detector, params, img_path, preprocessing_type="caffe", image_format="bgr"
+    detector, params, img_path, preprocessing_type="caffe", image_format=None
 ):
     """Shared load + preprocess + predict for any detector with a jitted
     `predict(params, image, image_hw)` (reference

@@ -618,7 +618,7 @@ class FPNDetector:
         )
 
     def test_one_image(
-        self, params, img_path, preprocessing_type="caffe", image_format="bgr"
+        self, params, img_path, preprocessing_type="caffe", image_format=None
     ):
         """Load + preprocess + predict one image file (debug API; the
         faster_rcnn twin mirrors base_faster_rcnn_model.py:267-277)."""

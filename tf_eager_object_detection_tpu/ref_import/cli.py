@@ -138,7 +138,7 @@ def load_checkpoint_params(detector, ckpt: str, args) -> Tuple[Dict, str]:
         return apply_name_map(init(), tensors, name_map), "rgb"
 
     if getattr(args, "keras_h5", False):
-        return load_keras_h5(init(), ckpt, _keras_modules(detector)), "bgr"
+        return load_keras_h5(init(), ckpt, _keras_modules(detector)), None
 
     # default: our own checkpoints (orbax dir or params .npz)
     from tf_eager_object_detection_tpu.training.checkpoints import (
@@ -149,14 +149,21 @@ def load_checkpoint_params(detector, ckpt: str, args) -> Tuple[Dict, str]:
     from tf_eager_object_detection_tpu.training.train_step import TrainState
 
     if ckpt.endswith(".npz"):
-        return load_params(ckpt), "bgr"
+        return load_params(ckpt), None
     import jax.numpy as jnp
 
     params = detector.init_params(jax.random.PRNGKey(0))
     opt = make_optimizer(detector.cfg, params, detector.backbone, detector.model_type)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
-    state = CheckpointManager(ckpt).restore(state)
-    return state.params, "bgr"
+    mgr = CheckpointManager(ckpt)
+    if mgr.latest_step() is None:
+        # restore() would silently return the random-init state
+        raise FileNotFoundError(
+            f"no orbax checkpoint steps under {ckpt!r} (pass the training "
+            "--logs_dir, a step dir's parent, or a params .npz)"
+        )
+    state = mgr.restore(state)
+    return state.params, None
 
 
 def _download(url: str, dest: str, md5: str = "") -> str:
@@ -192,15 +199,32 @@ def load_backbone_weights(detector, params: Dict, path_or_url: str) -> Dict:
             ),
             md5,
         )
-    elif path_or_url.startswith(("http://", "https://")):
-        # no published hash for arbitrary URLs: fetch without verification
+    elif path_or_url.startswith("http://"):
+        raise ValueError(
+            "refusing plain-http backbone weights URL (no transport "
+            "integrity): use https://, or append '#md5=<hex>' to pin a "
+            "digest, or download manually and pass a local path"
+        )
+    elif path_or_url.startswith("https://"):
+        # optional '#md5=<hex>' fragment pins a digest for arbitrary URLs
+        url, _, frag = path_or_url.partition("#")
+        md5 = frag[len("md5="):] if frag.startswith("md5=") else None
+        if md5 is None:
+            import warnings
+
+            warnings.warn(
+                f"downloading backbone weights from {url} WITHOUT checksum "
+                "verification; append '#md5=<hex>' to the URL to verify",
+                stacklevel=2,
+            )
         path = _download(
-            path_or_url,
+            url,
             os.path.join(
                 os.path.expanduser("~"),
                 ".cache",
                 "tpu_od",
-                os.path.basename(path_or_url),
+                os.path.basename(url),
             ),
+            md5,
         )
     return load_keras_h5(params, path, _keras_modules(detector))

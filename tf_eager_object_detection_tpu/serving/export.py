@@ -44,17 +44,21 @@ def export_predict(
     platforms: e.g. ("tpu",), ("cpu", "tpu") for a multi-platform artifact;
     None exports for the current default backend.
 
-    Note: the FPN `tpu_roi_align_impl='auto'` setting resolves its
-    einsum-vs-Pallas choice from `jax.default_backend()` at TRACE time —
-    the `platforms` argument does NOT influence it. When exporting an FPN
-    model from a host whose default backend differs from the serving
-    platform, set `tpu_roi_align_impl` explicitly ('pallas' for TPU
-    serving, 'einsum' otherwise) in the detector config before exporting;
-    a Pallas kernel baked into the artifact runs only on TPU, and an
-    einsum path baked from a CPU host forgoes the kernel's measured
-    serving win (BENCHLOG.md) with no warning.
+    Note: the FPN `tpu_roi_align_impl='auto'` setting normally resolves
+    its einsum-vs-Pallas choice from `jax.default_backend()` at TRACE
+    time. When `platforms` is given, export resolves 'auto' from the
+    REQUESTED platforms instead (tpu-only -> 'pallas' — the kernel's
+    measured serving win, BENCHLOG.md; any non-tpu platform -> 'einsum',
+    since a baked Pallas kernel only runs on TPU), so exporting from a
+    CPU host for TPU serving no longer silently bakes the slower path.
+    An explicit 'pallas'/'einsum' setting is always honored.
     """
     os.makedirs(out_dir, exist_ok=True)
+    resolved_impl = None
+    if platforms and detector.cfg.get("tpu_roi_align_impl") == "auto":
+        resolved_impl = (
+            "pallas" if set(platforms) == {"tpu"} else "einsum"
+        )
     params = jax.tree_util.tree_map(jnp.asarray, params)
     buckets = [tuple(b) for b in detector.cfg["tpu_image_buckets"]]
 
@@ -62,16 +66,25 @@ def export_predict(
         det = detector.predict(params, image, image_hw)
         return tuple(det)  # NamedTuples need registration; plain tuple doesn't
 
-    for h, w in buckets:
-        exp = jax.export.export(
-            jax.jit(fn),
-            platforms=list(platforms) if platforms else None,
-        )(
-            jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
-            jax.ShapeDtypeStruct((2,), jnp.int32),
-        )
-        with open(os.path.join(out_dir, f"predict_{h}x{w}.stablehlo"), "wb") as f:
-            f.write(exp.serialize())
+    prev_impl = detector.cfg.get("tpu_roi_align_impl")
+    if resolved_impl is not None:
+        detector.cfg["tpu_roi_align_impl"] = resolved_impl
+    try:
+        for h, w in buckets:
+            exp = jax.export.export(
+                jax.jit(fn),
+                platforms=list(platforms) if platforms else None,
+            )(
+                jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
+                jax.ShapeDtypeStruct((2,), jnp.int32),
+            )
+            with open(
+                os.path.join(out_dir, f"predict_{h}x{w}.stablehlo"), "wb"
+            ) as f:
+                f.write(exp.serialize())
+    finally:
+        if resolved_impl is not None:
+            detector.cfg["tpu_roi_align_impl"] = prev_impl
     meta = {
         "format_version": _FORMAT_VERSION,
         "model_type": detector.model_type,

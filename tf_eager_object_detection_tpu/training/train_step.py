@@ -22,10 +22,16 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_train_step(detector, optimizer):
+def make_train_step(detector, optimizer, with_probe: bool = False):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     batch = (images, image_hw, gt_boxes, gt_mask, gt_labels).
+
+    with_probe=True adds a `probe` scalar (a full-params sum) to the
+    metrics for benchmark-only device->host sync (see bench.py); the
+    default keeps metrics to the reference's loss series so training
+    logs/TensorBoard match the reference's observability contract
+    (scripts/train.py:106-112).
     """
 
     from tf_eager_object_detection_tpu.models.freeze import stop_frozen_gradients
@@ -47,12 +53,13 @@ def make_train_step(detector, optimizer):
         (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        # scalar depending on every updated parameter: fetching it to host is
-        # the only reliable way to await step completion on backends where
-        # block_until_ready returns early (see bench.py)
-        metrics["probe"] = sum(
-            jnp.sum(x) for x in jax.tree_util.tree_leaves(params)
-        )
+        if with_probe:
+            # scalar depending on every updated parameter: fetching it to
+            # host is the only reliable way to await step completion on
+            # backends where block_until_ready returns early (see bench.py)
+            metrics["probe"] = sum(
+                jnp.sum(x) for x in jax.tree_util.tree_leaves(params)
+            )
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
