@@ -124,8 +124,10 @@ def test_make_level_anchors():
     assert anchors.shape == (2 * 2 * 3, 4)
     # ratio=1 anchor at cell (0,0): centered at 0 with w = h = 32.
     np.testing.assert_allclose(anchors[1], [-16, -16, 16, 16])
-    # ratio=0.5: w = 32/sqrt(.5), h = 32*sqrt(.5)
-    w, h = 32 / np.sqrt(0.5), 32 * np.sqrt(0.5)
+    # ratio=0.5: w = 32*sqrt(.5), h = 32/sqrt(.5) — the reference's
+    # enum_ratios return-swap quirk (anchor_generator.py:178), proven by the
+    # executing-oracle test in test_reference_oracle.py
+    w, h = 32 * np.sqrt(0.5), 32 / np.sqrt(0.5)
     np.testing.assert_allclose(
         anchors[0], [-w / 2, -h / 2, w / 2, h / 2], rtol=1e-6
     )

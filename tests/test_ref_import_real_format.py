@@ -293,7 +293,8 @@ def test_eval_cli_import_flag_dispatch(tmp_path, vgg16_det_params):
     parser = argparse.ArgumentParser()
     add_import_flags(parser)
 
-    # keras_h5 path: loads backbone, returns bgr
+    # keras_h5 path: loads backbone, returns None (= preprocessing-native
+    # channel order; caffe -> BGR)
     h5py = pytest.importorskip("h5py")
     path = str(tmp_path / "w.h5")
     kshape = np.asarray(params["extractor"]["block1_conv1"]["kernel"]).shape
@@ -303,7 +304,7 @@ def test_eval_cli_import_flag_dispatch(tmp_path, vgg16_det_params):
         g.create_dataset("block1_conv1_W_1:0", data=k)
     args = parser.parse_args(["--keras_h5"])
     new, fmt = load_checkpoint_params(det, path, args)
-    assert fmt == "bgr"
+    assert fmt is None
     np.testing.assert_array_equal(new["extractor"]["block1_conv1"]["kernel"], k)
 
     # conflicting flags rejected

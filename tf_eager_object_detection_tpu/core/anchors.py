@@ -102,16 +102,21 @@ def make_level_anchors(
 ) -> np.ndarray:
     """FPN-style anchors for one level -> [grid_h*grid_w*A, 4] float32 xyxy.
 
-    Matches `make_anchors` (anchor_generator.py:137-178): per (scale, ratio)
-    w = base*scale/sqrt(ratio), h = base*scale*sqrt(ratio), centers at
-    (x*stride, y*stride). Anchor order: scale-major, ratio-minor.
+    Matches `make_anchors` (anchor_generator.py:137-178) exactly, including
+    the `enum_ratios` return-value swap (:178 returns `(hs, ws)` which
+    make_anchors unpacks as `ws, hs`): per (ratio, scale) the emitted box is
+    w = base*scale*sqrt(ratio), h = base*scale/sqrt(ratio), centered at
+    (x*stride, y*stride). Anchor order within a cell: RATIO-major,
+    scale-minor. Proven against the reference's executing `make_anchors` in
+    tests/test_reference_oracle.py (the set is ratio-symmetric, but the
+    per-index mapping matters for FPN_Tensorflow weight import).
     """
     scales = np.asarray(scales, np.float32)
     ratios = np.asarray(ratios, np.float32)
     sizes = base_anchor_size * scales  # [S]
     sqrt_r = np.sqrt(ratios)  # [R]
-    ws = (sizes[:, None] / sqrt_r[None, :]).ravel()  # [S*R]
-    hs = (sizes[:, None] * sqrt_r[None, :]).ravel()
+    ws = (sqrt_r[:, None] * sizes[None, :]).ravel()  # [R*S], ratio-major
+    hs = (sizes[None, :] / sqrt_r[:, None]).ravel()
 
     x_centers = np.arange(grid_w, dtype=np.float32) * stride
     y_centers = np.arange(grid_h, dtype=np.float32) * stride
