@@ -24,6 +24,9 @@ def parse_args():
                    choices=["vgg16", "resnet50", "resnet101", "resnet152"])
     p.add_argument("--results_json", default="./coco_results.json")
     p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="bucket-grouped im_detect_batch size (the measured "
+                        "batched-serving win; 1 = reference-style per-image)")
     p.add_argument("--config_override", action="append", default=[],
                    metavar="KEY=JSON",
                    help="override a single config key (JSON value; repeatable)")
@@ -35,7 +38,6 @@ def parse_args():
 
 def main():
     args = parse_args()
-    import jax.numpy as jnp
     import numpy as np
 
     from tf_eager_object_detection_tpu.config.config_factory import (
@@ -43,6 +45,9 @@ def main():
         config_factory,
     )
     from tf_eager_object_detection_tpu.data.coco import coco_eval_iterator
+    from tf_eager_object_detection_tpu.evaluation.batched_inference import (
+        batched_im_detect,
+    )
     from tf_eager_object_detection_tpu.evaluation.coco_eval import (
         evaluate_coco_detections,
     )
@@ -62,11 +67,14 @@ def main():
         args.annotation_file, args.image_dir, cfg, args.preprocessing_type,
         image_format=image_format,
     )
-    results = []
-    for image, image_hw, scale, raw_h, raw_w, img_id in iterator:
-        sm, deltas, rois, roi_valid = detector.im_detect(
-            params, jnp.asarray(image), jnp.asarray(image_hw), float(scale)
-        )
+    # keyed by stream index: batches complete out of stream order, but the
+    # results JSON stays byte-identical to the per-image (batch_size=1) path
+    per_index = {}
+    for idx, item, (sm, deltas, rois, roi_valid) in batched_im_detect(
+        detector, params, iterator, args.batch_size
+    ):
+        raw_h, raw_w, img_id = item[3], item[4], item[5]
+        results = per_index.setdefault(idx, [])
         boxes_c, scores_c, valid_c = eval_post_process(
             sm, deltas, rois, roi_valid, float(raw_h), float(raw_w),
             num_classes=detector.num_classes,
@@ -96,6 +104,7 @@ def main():
                         "score": float(score),
                     }
                 )
+    results = [r for idx in sorted(per_index) for r in per_index[idx]]
     with open(args.results_json, "w") as f:
         json.dump(results, f)
     evaluate_coco_detections(args.annotation_file, results)

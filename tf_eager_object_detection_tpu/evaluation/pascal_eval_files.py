@@ -96,61 +96,43 @@ def get_prediction_files(
     eval_iterator yields (image [Hp, Wp, 3], image_hw [2], scale, raw_h,
     raw_w) host-side tuples aligned with image_ids.
     """
+    from tf_eager_object_detection_tpu.evaluation.batched_inference import (
+        batched_im_detect,
+    )
+
     cfg = detector.cfg
     num_classes = detector.num_classes
     per_image: List[np.ndarray | None] = [None] * len(image_ids)
 
-    def flush(group, indices):
-        """Run one bucket-uniform batch through the detector + post-process."""
-        images = jnp.asarray(np.stack([g[0] for g in group]))
-        hws = jnp.asarray(np.stack([g[1] for g in group]))
-        scales = jnp.asarray(np.asarray([g[2] for g in group], np.float32))
-        sm, deltas, rois, roi_valid = detector.im_detect_batch(
-            params, images, hws, scales
+    for img_idx, item, (sm, deltas, rois, roi_valid) in batched_im_detect(
+        detector, params, eval_iterator, batch_size
+    ):
+        raw_h, raw_w = item[3], item[4]
+        boxes_c, scores_c, valid_c = eval_post_process(
+            sm,
+            deltas,
+            rois,
+            roi_valid,
+            float(raw_h),
+            float(raw_w),
+            num_classes=num_classes,
+            max_per_class=max_objects_per_class,
+            score_threshold=score_threshold,
+            nms_iou_threshold=nms_iou_threshold,
+            min_size=min_size,
+            target_means=tuple(cfg["roi_proposal_means"]),
+            target_stds=tuple(cfg["roi_proposal_stds"]),
         )
-        for i, img_idx in enumerate(indices):
-            raw_h, raw_w = group[i][3], group[i][4]
-            boxes_c, scores_c, valid_c = eval_post_process(
-                sm[i],
-                deltas[i],
-                rois[i],
-                roi_valid[i],
-                float(raw_h),
-                float(raw_w),
-                num_classes=num_classes,
-                max_per_class=max_objects_per_class,
-                score_threshold=score_threshold,
-                nms_iou_threshold=nms_iou_threshold,
-                min_size=min_size,
-                target_means=tuple(cfg["roi_proposal_means"]),
-                target_stds=tuple(cfg["roi_proposal_stds"]),
+        boxes_c = np.asarray(boxes_c)
+        scores_c = np.asarray(scores_c)
+        valid_c = np.asarray(valid_c)
+        dets = [
+            np.concatenate(
+                [boxes_c[j][valid_c[j]], scores_c[j][valid_c[j], None]], axis=1
             )
-            boxes_c = np.asarray(boxes_c)
-            scores_c = np.asarray(scores_c)
-            valid_c = np.asarray(valid_c)
-            dets = [
-                np.concatenate(
-                    [boxes_c[j][valid_c[j]], scores_c[j][valid_c[j], None]], axis=1
-                )
-                for j in range(num_classes - 1)
-            ]
-            per_image[img_idx] = _cap_per_image(dets, max_objects_per_image)
-
-    # group the stream into bucket-uniform batches (one compile per bucket)
-    pending: dict = {}
-    for img_idx, item in enumerate(eval_iterator):
-        key = item[0].shape[:2]
-        pending.setdefault(key, []).append((img_idx, item))
-        if len(pending[key]) == batch_size:
-            batch = pending.pop(key)
-            flush([b[1] for b in batch], [b[0] for b in batch])
-    for batch in pending.values():
-        # pad the final partial batch by repeating its last element
-        indices = [b[0] for b in batch]
-        group = [b[1] for b in batch]
-        while len(group) < batch_size:
-            group.append(group[-1])
-        flush(group, indices)
+            for j in range(num_classes - 1)
+        ]
+        per_image[img_idx] = _cap_per_image(dets, max_objects_per_image)
 
     return write_voc_detection_files(
         per_image, image_ids, class_names, result_file_format
