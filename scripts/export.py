@@ -28,12 +28,22 @@ def main():
                    help="comma list, e.g. 'tpu' or 'cpu,tpu' (default: current backend)")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and run a smoke inference")
+    p.add_argument("--no_bake_params", action="store_true",
+                   help="export predict(params, image, hw) with params as "
+                        "call inputs: ~1000x smaller StableHLO + one "
+                        "params.npz, instead of baking weights per bucket")
+    p.add_argument("--config_override", action="append", default=[],
+                   metavar="KEY=JSON",
+                   help="override a single config key (JSON value; repeatable)")
     from tf_eager_object_detection_tpu.ref_import.cli import add_import_flags
 
     add_import_flags(p)
     args = p.parse_args()
 
-    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.config.config_factory import (
+        apply_config_overrides,
+        config_factory,
+    )
     from tf_eager_object_detection_tpu.models.model_factory import model_factory
     from tf_eager_object_detection_tpu.ref_import.cli import load_checkpoint_params
     from tf_eager_object_detection_tpu.serving.export import (
@@ -41,11 +51,17 @@ def main():
         load_predict,
     )
 
-    cfg = dict(config_factory(args.data_type, args.model_type))
+    cfg = apply_config_overrides(
+        dict(config_factory(args.data_type, args.model_type)),
+        args.config_override,
+    )
     detector = model_factory(args.model_type, args.backbone, cfg)
     params, _ = load_checkpoint_params(detector, args.ckpt, args)
     platforms = args.platforms.split(",") if args.platforms else None
-    out = export_predict(detector, params, args.out_dir, platforms)
+    out = export_predict(
+        detector, params, args.out_dir, platforms,
+        bake_params=not args.no_bake_params,
+    )
     print("exported to", out)
 
     if args.check:

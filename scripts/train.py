@@ -41,6 +41,17 @@ def parse_args():
     p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch across all local devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host data parallelism over jax.distributed "
+                        "(every process runs this CLI with the same flags; "
+                        "the global batch spans all processes' devices)")
+    p.add_argument("--coordinator_address", default=None,
+                   help="with --multihost on non-TPU clusters: host:port of "
+                        "process 0 (TPU pods auto-detect)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="with --multihost on non-TPU clusters: process count")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="with --multihost on non-TPU clusters: this rank")
     p.add_argument("--compute_dtype", default=None, choices=["float32", "bfloat16"],
                    help="override config tpu_compute_dtype")
     p.add_argument("--learning_rate", type=float, default=None,
@@ -56,6 +67,12 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    if args.multihost:
+        # join the distributed runtime before any other jax activity
+        from tf_eager_object_detection_tpu.parallel.multihost import initialize
+
+        initialize(args.coordinator_address, args.num_processes, args.process_id)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
@@ -81,10 +98,14 @@ def main():
     detector = model_factory(args.model_type, args.backbone, cfg)
 
     # Under DP the dataset yields the GLOBAL batch (per-device x n_devices);
-    # the Trainer shards it over the mesh (parallel/mesh.py).
+    # the Trainer shards it over the mesh (parallel/mesh.py). Under
+    # --multihost every process builds the same global stream (same seed)
+    # and the Trainer slices out its local rows (parallel/multihost.py).
     global_batch = cfg["tpu_train_batch_size_per_device"]
-    if args.data_parallel:
-        global_batch *= len(jax.devices())
+    if args.multihost:
+        global_batch *= jax.device_count()
+    elif args.data_parallel:
+        global_batch *= len(jax.local_devices())
 
     if args.data_type == "pascal":
         records = sorted(glob.glob(os.path.join(args.tf_records_dir, "*train*.tfrecords")))
@@ -121,6 +142,7 @@ def main():
         seed=args.seed,
         data_parallel=args.data_parallel,
         backbone_weights=args.backbone_weights,
+        multihost=args.multihost,
     )
     epochs = args.epochs or cfg["epochs"]
     trainer.train(batches, epochs, args.steps_per_epoch)

@@ -316,3 +316,64 @@ def test_eval_cli_import_flag_dispatch(tmp_path, vgg16_det_params):
     args = parser.parse_args(["--use_fpn_tensorflow_model"])
     with pytest.raises(ValueError, match="model_type fpn"):
         load_checkpoint_params(det, path, args)
+
+
+def test_backbone_weights_accepts_slim_checkpoint(tmp_path, vgg16_det_params):
+    """--backbone_weights with a slim vgg TF-checkpoint prefix: format is
+    auto-detected (.index/.data family) and routed through
+    vgg16_slim_backbone_map with the BGR conv1_1 flip — the reference's
+    slim fresh-training init (vgg16_faster_rcnn.py:357-390), now
+    CLI-reachable (VERDICT r2 #7)."""
+    tf = pytest.importorskip("tensorflow")
+    det, params = vgg16_det_params
+
+    var_names = slim_vgg16_var_names()
+    values = {}
+    g = tf.Graph()
+    with g.as_default():
+        tf_vars = []
+        for vn in var_names:
+            layer = vn.split("/")[2]
+            block, idx = int(layer[4]), int(layer[6])
+            pname = "kernel" if vn.endswith("weights") else "bias"
+            shape = _param_shape(
+                params, ("extractor",), f"block{block}_conv{idx}", pname
+            )
+            values[vn] = _fill_for(vn, shape)
+            tf_vars.append(tf.Variable(values[vn], name=vn, dtype=tf.float32))
+        saver = tf.compat.v1.train.Saver(
+            {vn: v for vn, v in zip(var_names, tf_vars)}
+        )
+        with tf.compat.v1.Session(graph=g) as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            ckpt_path = saver.save(sess, str(tmp_path / "vgg_16.ckpt"))
+
+    from tf_eager_object_detection_tpu.ref_import.cli import (
+        _is_tf_checkpoint,
+        load_backbone_weights,
+    )
+
+    assert _is_tf_checkpoint(ckpt_path)
+    assert not _is_tf_checkpoint(str(tmp_path / "nope.h5"))
+
+    new = load_backbone_weights(det, params, ckpt_path)
+    # conv1_1 kernel lands with input channels reversed (RGB->BGR)
+    np.testing.assert_array_equal(
+        new["extractor"]["block1_conv1"]["kernel"],
+        values["vgg_16/conv1/conv1_1/weights"][:, :, ::-1, :],
+    )
+    # a deeper conv lands unflipped
+    np.testing.assert_array_equal(
+        new["extractor"]["block5_conv3"]["kernel"],
+        values["vgg_16/conv5/conv5_3/weights"],
+    )
+
+    # non-vgg backbones reject the slim path loudly
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+
+    rdet = model_factory(
+        "faster_rcnn", "resnet50", dict(config_factory("pascal", "faster_rcnn"))
+    )
+    with pytest.raises(ValueError, match="vgg16"):
+        load_backbone_weights(rdet, params, ckpt_path)

@@ -180,14 +180,49 @@ def _download(url: str, dest: str, md5: str = "") -> str:
     return dest
 
 
-def load_backbone_weights(detector, params: Dict, path_or_url: str) -> Dict:
-    """Fresh-training pretrained-backbone load (keras-applications .h5).
+def _is_tf_checkpoint(path: str) -> bool:
+    """TF-Saver checkpoints are a `<path>.index` + `<path>.data-*` family
+    (the `path` itself is a prefix, not a file)."""
+    import glob as _glob
 
-    Accepts a local file, an explicit URL, or the literal string 'keras'
-    (resolve the reference's URL for the detector's backbone and download —
-    requires network egress; local files don't).
+    return os.path.exists(path + ".index") or bool(
+        _glob.glob(path + ".data-0000*")
+    )
+
+
+def load_backbone_weights(detector, params: Dict, path_or_url: str) -> Dict:
+    """Fresh-training pretrained-backbone load.
+
+    Accepts a keras-applications .h5 local file, an explicit https URL, the
+    literal string 'keras' (resolve the reference's URL for the detector's
+    backbone and download — requires network egress; local files don't), or
+    a slim vgg_16 TF-Saver checkpoint prefix (the reference's alternative
+    fresh-training init, vgg16_faster_rcnn.py:357-390: slim names mapped to
+    backbone layers with the RGB->BGR input-channel flip on conv1_1).
     """
     from tf_eager_object_detection_tpu.ref_import.importers import load_keras_h5
+
+    if _is_tf_checkpoint(path_or_url):
+        if detector.backbone != "vgg16":
+            raise ValueError(
+                "slim TF-checkpoint backbone init is the reference's vgg16 "
+                f"path (vgg16_faster_rcnn.py:357-390); got {detector.backbone}"
+            )
+        from tf_eager_object_detection_tpu.ref_import.importers import (
+            apply_name_map,
+            load_tf_checkpoint_dict,
+        )
+        from tf_eager_object_detection_tpu.ref_import.name_maps import (
+            vgg16_slim_backbone_map,
+        )
+
+        tensors = load_tf_checkpoint_dict(path_or_url)
+        return apply_name_map(
+            params,
+            tensors,
+            vgg16_slim_backbone_map(),
+            bgr_flip_layers=(("extractor", "block1_conv1"),),
+        )
 
     path = path_or_url
     if path_or_url == "keras":

@@ -84,9 +84,19 @@ class Trainer:
         seed: int = 0,
         data_parallel: bool = False,
         backbone_weights: Optional[str] = None,
+        multihost: bool = False,
     ):
+        """multihost=True runs data parallelism over a mesh spanning every
+        process of an initialized `jax.distributed` runtime (call
+        `parallel.multihost.initialize` first). Every process feeds the SAME
+        global batch stream; the trainer slices out this process's rows and
+        assembles global arrays via make_array_from_process_local_data
+        (parallel/multihost.py). Only process 0 writes logs/summaries; all
+        processes participate in checkpoint saves (orbax requirement).
+        """
         self.det = detector
         cfg = detector.cfg
+        self.multihost = multihost
         self.params = detector.init_params(jax.random.PRNGKey(seed))
         if backbone_weights:
             # pretrained-backbone start (reference fresh-training UX,
@@ -108,7 +118,19 @@ class Trainer:
         self.state = TrainState(
             self.params, self.optimizer.init(self.params), jnp.zeros((), jnp.int32)
         )
-        if data_parallel:
+        if multihost:
+            from tf_eager_object_detection_tpu.parallel.mesh import (
+                make_parallel_train_step,
+            )
+            from tf_eager_object_detection_tpu.parallel.multihost import (
+                make_global_mesh,
+            )
+
+            self.mesh = make_global_mesh()
+            self.step_fn = make_parallel_train_step(
+                detector, self.optimizer, self.mesh
+            )
+        elif data_parallel:
             from tf_eager_object_detection_tpu.parallel.mesh import (
                 make_mesh,
                 make_parallel_train_step,
@@ -128,11 +150,20 @@ class Trainer:
             self.state = restore_mgr.restore(self.state)
         else:
             self.state = self.ckpt.restore(self.state)
-        if self.mesh is not None:
+        if multihost:
+            from tf_eager_object_detection_tpu.parallel.multihost import (
+                replicate_from_host,
+            )
+
+            self.state = replicate_from_host(
+                jax.device_get(self.state), self.mesh
+            )
+        elif self.mesh is not None:
             from tf_eager_object_detection_tpu.parallel.mesh import replicate
 
             self.state = replicate(self.state, self.mesh)
-        self.writer = MetricWriter(train_dir)
+        self.is_primary = (not multihost) or jax.process_index() == 0
+        self.writer = MetricWriter(train_dir) if self.is_primary else None
         self.logging_every = logging_every_n_steps
         self.summary_every = summary_every_n_steps
         self.saving_every = saving_every_n_steps
@@ -150,7 +181,22 @@ class Trainer:
                 jnp.asarray(batch["gt_mask"]),
                 jnp.asarray(batch["gt_labels"]),
             )
-            if self.mesh is not None:
+            if self.multihost:
+                from tf_eager_object_detection_tpu.parallel.multihost import (
+                    host_local_to_global,
+                    local_batch_slice,
+                    replicate_from_host,
+                )
+
+                lo, hi = local_batch_slice(
+                    int(batch_tuple[0].shape[0]), self.mesh
+                )
+                local = tuple(np.asarray(x)[lo:hi] for x in batch_tuple)
+                batch_tuple = host_local_to_global(local, self.mesh)
+                step_rng = replicate_from_host(
+                    jax.device_get(step_rng), self.mesh
+                )
+            elif self.mesh is not None:
                 from tf_eager_object_detection_tpu.parallel.mesh import (
                     replicate,
                     shard_batch,
@@ -167,7 +213,7 @@ class Trainer:
             self.state, metrics = self.step_fn(self.state, batch_tuple, step_rng)
             n += 1
             step = int(self.state.step)
-            if step % self.logging_every == 0:
+            if step % self.logging_every == 0 and self.is_primary:
                 vals = {k: float(v) for k, v in metrics.items()}
                 lr = float(self.lr_schedule(step))
                 print(
@@ -175,7 +221,7 @@ class Trainer:
                     + " ".join(f"{k}={v:.4f}" for k, v in vals.items()),
                     flush=True,
                 )
-            if step % self.summary_every == 0:
+            if step % self.summary_every == 0 and self.writer is not None:
                 vals = {k: float(v) for k, v in metrics.items()}
                 vals["learning_rate"] = float(self.lr_schedule(step))
                 self.writer.write_scalars(step, vals)
@@ -186,7 +232,11 @@ class Trainer:
             if steps is not None and n >= steps:
                 break
         dt = time.time() - t_start
-        print(f"epoch finished: {n} steps in {dt:.1f}s ({n / max(dt, 1e-9):.2f} steps/s)")
+        if self.is_primary:
+            print(
+                f"epoch finished: {n} steps in {dt:.1f}s "
+                f"({n / max(dt, 1e-9):.2f} steps/s)"
+            )
         return self.state
 
     def _write_gt_overlay(self, step: int, batch: dict):
@@ -250,13 +300,16 @@ class Trainer:
     def train(self, batches: Iterator[dict], epochs: int, steps_per_epoch: int):
         batches = prefetch(batches)
         for epoch in range(epochs):
-            print(f"epoch {epoch + 1}/{epochs}")
+            if self.is_primary:
+                print(f"epoch {epoch + 1}/{epochs}")
             self.train_one_epoch(batches, steps_per_epoch)
             self.ckpt.save(self.state)
-        self.writer.flush()
+        if self.writer is not None:
+            self.writer.flush()
         self.close()
         return self.state
 
     def close(self):
-        self.writer.close()
+        if self.writer is not None:
+            self.writer.close()
         self.ckpt.close()
