@@ -360,3 +360,57 @@ def test_windowed_backward_overlapping_rois_matches_einsum_vjp():
     g_einsum = np.asarray(jax.grad(lambda f: loss(f, "einsum"))(jnp.asarray(feat)))
     np.testing.assert_allclose(g_window, g_einsum, rtol=1e-4, atol=1e-4)
     assert np.abs(g_window).max() > 0.0
+
+
+def test_pallas_roi_align_small_window_exact_when_span_fits():
+    """window=48 / 32 are exact for rois whose cell span fits (the FPN
+    level-assignment bound); forward AND backward agree with window=64."""
+    rng = np.random.RandomState(5)
+    h, w, c = 100, 160, 16
+    ih, iw = 400.0, 640.0
+    feat = rng.randn(h, w, c).astype(np.float32)
+    # spans of ~10-25 cells on the 100x160 grid (ih/h = 4 px per cell)
+    rois = np.array(
+        [
+            [10.0, 20.0, 90.0, 100.0],
+            [300.0, 200.0, 380.0, 280.0],
+            [500.0, 300.0, 560.0, 370.0],
+        ],
+        np.float32,
+    )
+    active = np.ones(len(rois), np.int32)
+
+    outs = {}
+    grads = {}
+    for window in (64, 48, 32):
+        def f(feats):
+            return pallas_roi_align_window(
+                feats, jnp.asarray(rois), jnp.asarray(active),
+                ih, iw, 14, interpret=True, window=window,
+            ).sum()
+
+        outs[window] = np.asarray(
+            pallas_roi_align_window(
+                jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(active),
+                ih, iw, 14, interpret=True, window=window,
+            )
+        )
+        grads[window] = np.asarray(jax.grad(f)(jnp.asarray(feat)))
+
+    for window in (48, 32):
+        np.testing.assert_allclose(outs[window], outs[64], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(grads[window], grads[64], rtol=1e-5, atol=1e-5)
+    # and the 64 output still matches the einsum oracle
+    np.testing.assert_allclose(
+        outs[64], _ref_crops(feat, rois, ih, iw, 14), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_pallas_roi_align_window_must_be_multiple_of_16():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 16"):
+        pallas_roi_align_window(
+            jnp.zeros((8, 8, 8)), jnp.zeros((1, 4)), jnp.ones((1,)),
+            32.0, 32.0, 14, interpret=True, window=40 + 1,
+        )

@@ -69,6 +69,12 @@ def get_default_pascal_fpn_config():
         # "bfloat16" halves the per-roi window DMA traffic (the kernel's
         # bottleneck) at ~2^-8 relative interpolation error
         "tpu_roi_align_window_dtype": "float32",
+        # cells per side of the pallas RoIAlign per-roi window DMA. FPN level
+        # assignment bounds an assigned roi's span to < 28 cells at its level
+        # (base_fpn_model.py:309-313), so 64 is exact up to aspect ~5; 48
+        # covers aspect ~3 and 32 aspect ~1.3, cutting DMA quadratically.
+        # Must be a multiple of 16.
+        "tpu_roi_align_window": 64,
     }
 
 

@@ -317,6 +317,9 @@ class FPNDetector:
             raise ValueError(f"unknown tpu_roi_align_window_dtype {name!r}")
         return _jnp.bfloat16 if name == "bfloat16" else _jnp.float32
 
+    def _pallas_window(self) -> int:
+        return int(self.cfg.get("tpu_roi_align_window", 64))
+
     def _roi_features(self, p_list_i, rois, image_hw, training: bool = False):
         """Level-assigned RoIAlign via one-hot select over levels.
 
@@ -339,6 +342,7 @@ class FPNDetector:
                     interpret=self._pallas_interpret(),
                     level_stride=self.strides[i],
                     window_dtype=self._pallas_window_dtype(),
+                    window=self._pallas_window(),
                 )
             return max_pool_2x2_same(total)
         feats = 0.0
@@ -391,6 +395,7 @@ class FPNDetector:
                 interpret=self._pallas_interpret(),
                 level_stride=self.strides[i],
                 window_dtype=self._pallas_window_dtype(),
+                window=self._pallas_window(),
             )
         b, n = total.shape[:2]
         pooled = max_pool_2x2_same(total.reshape((b * n,) + total.shape[2:]))

@@ -46,17 +46,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pallas_roi_align_window", "WINDOW"]
 
-WINDOW = 64  # feature cells per side DMA'd for each roi
+WINDOW = 64  # default feature cells per side DMA'd for each roi
 
 
 def _window_copy(
-    feat_ref, sy8_ref, sxa_ref, j, win_ref, sem, c, lane_align, row_align
+    feat_ref, sy8_ref, sxa_ref, j, win_ref, sem, c, lane_align, row_align,
+    window,
 ):
     """The roi-j window DMA descriptor (must be identical at start and wait)."""
     return pltpu.make_async_copy(
         feat_ref.at[
-            pl.ds(sy8_ref[j] * row_align, WINDOW),
-            pl.ds(sxa_ref[j] * (lane_align * c), WINDOW * c),
+            pl.ds(sy8_ref[j] * row_align, window),
+            pl.ds(sxa_ref[j] * (lane_align * c), window * c),
         ],
         win_ref,
         sem,
@@ -80,6 +81,7 @@ def _kernel(
     lane_align: int,
     row_align: int,
     total: int,
+    window: int,
 ):
     """One roi per grid step, double-buffered window DMA.
 
@@ -104,18 +106,18 @@ def _kernel(
 
     @pl.when(jnp.logical_and(i == 0, active_ref[i] != 0))
     def _prologue():
-        _window_copy(feat_ref, sy8_ref, sxa_ref, i, win0_ref, sem0, c, lane_align, row_align).start()
+        _window_copy(feat_ref, sy8_ref, sxa_ref, i, win0_ref, sem0, c, lane_align, row_align, window).start()
 
     nxt = jnp.minimum(i + 1, total - 1)  # clamped: only read under the guard
     start_next = jnp.logical_and(i + 1 < total, active_ref[nxt] != 0)
 
     @pl.when(jnp.logical_and(start_next, (i + 1) % 2 == 0))
     def _start_next_even():
-        _window_copy(feat_ref, sy8_ref, sxa_ref, nxt, win0_ref, sem0, c, lane_align, row_align).start()
+        _window_copy(feat_ref, sy8_ref, sxa_ref, nxt, win0_ref, sem0, c, lane_align, row_align, window).start()
 
     @pl.when(jnp.logical_and(start_next, (i + 1) % 2 == 1))
     def _start_next_odd():
-        _window_copy(feat_ref, sy8_ref, sxa_ref, nxt, win1_ref, sem1, c, lane_align, row_align).start()
+        _window_copy(feat_ref, sy8_ref, sxa_ref, nxt, win1_ref, sem1, c, lane_align, row_align, window).start()
 
     @pl.when(active_ref[i] == 0)
     def _skip():
@@ -125,10 +127,10 @@ def _kernel(
         ys = coords_ref[0, 0:1, :] - sy.astype(jnp.float32)  # [1, crop]
         xs = coords_ref[0, 1:2, :] - sx.astype(jnp.float32)
         # Mosaic only lowers integer iota
-        cells = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1).astype(
+        cells = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1).astype(
             jnp.float32
         )
-        # tent weights [crop, WINDOW]; out-of-window samples get zero rows
+        # tent weights [crop, window]; out-of-window samples get zero rows
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.transpose(ys) - cells))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.transpose(xs) - cells))
 
@@ -146,11 +148,11 @@ def _kernel(
             win,
             preferred_element_type=jnp.float32,
             precision=win_prec,
-        )  # [crop, WINDOW*C], y-interpolation done
-        rows3 = rows.reshape(crop, WINDOW, c)
+        )  # [crop, window*C], y-interpolation done
+        rows3 = rows.reshape(crop, window, c)
         # x-interpolation as a batched matmul over the crop rows:
-        # for each y: [crop, WINDOW] @ [WINDOW, C] -> [crop, C]
-        wxb = jnp.broadcast_to(wx[None], (crop, crop, WINDOW))
+        # for each y: [crop, window] @ [window, C] -> [crop, C]
+        wxb = jnp.broadcast_to(wx[None], (crop, crop, window))
         out = jax.lax.dot_general(
             wxb,
             rows3,
@@ -162,12 +164,12 @@ def _kernel(
 
     @pl.when(jnp.logical_and(active_ref[i] != 0, i % 2 == 0))
     def _compute_even():
-        _window_copy(feat_ref, sy8_ref, sxa_ref, i, win0_ref, sem0, c, lane_align, row_align).wait()
+        _window_copy(feat_ref, sy8_ref, sxa_ref, i, win0_ref, sem0, c, lane_align, row_align, window).wait()
         _interpolate(win0_ref)
 
     @pl.when(jnp.logical_and(active_ref[i] != 0, i % 2 == 1))
     def _compute_odd():
-        _window_copy(feat_ref, sy8_ref, sxa_ref, i, win1_ref, sem1, c, lane_align, row_align).wait()
+        _window_copy(feat_ref, sy8_ref, sxa_ref, i, win1_ref, sem1, c, lane_align, row_align, window).wait()
         _interpolate(win1_ref)
 
 
@@ -186,6 +188,7 @@ def _bwd_kernel(
     c: int,
     lane_align: int,
     row_align: int,
+    window: int,
 ):
     """VJP-w.r.t.-features of the windowed forward: one roi per grid step,
     read-modify-write of the roi's window in the df plane (grid steps are
@@ -201,17 +204,18 @@ def _bwd_kernel(
     @pl.when(active_ref[i] != 0)
     def _accumulate():
         copy_in = _window_copy(
-            df_ref, sy8_ref, sxa_ref, i, win_ref, sem, c, lane_align, row_align
+            df_ref, sy8_ref, sxa_ref, i, win_ref, sem, c, lane_align,
+            row_align, window,
         )
         copy_in.start()
         copy_in.wait()
 
         ys = coords_ref[0, 0:1, :] - sy.astype(jnp.float32)  # [1, crop]
         xs = coords_ref[0, 1:2, :] - sx.astype(jnp.float32)
-        cells = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, 1), 0).astype(
+        cells = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0).astype(
             jnp.float32
         )
-        # transposed tent weights [WINDOW, crop]
+        # transposed tent weights [window, crop]
         wyt = jnp.maximum(0.0, 1.0 - jnp.abs(cells - ys))
         wxt = jnp.maximum(0.0, 1.0 - jnp.abs(cells - xs))
 
@@ -221,11 +225,11 @@ def _bwd_kernel(
             g2,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # [WINDOW, crop*C] — y-transpose done
-        t13 = t1.reshape(WINDOW, crop, c)
+        )  # [window, crop*C] — y-transpose done
+        t13 = t1.reshape(window, crop, c)
         # x-transpose as a batched matmul over the window rows:
         # contrib[yc, xc, ch] = sum_x wxt[xc, x] * t13[yc, x, ch]
-        wxb = jnp.broadcast_to(wxt[None], (WINDOW, WINDOW, crop))
+        wxb = jnp.broadcast_to(wxt[None], (window, window, crop))
         contrib = jax.lax.dot_general(
             wxb,
             t13,
@@ -233,13 +237,13 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [yc, xc, C]
-        win_ref[:, :] = win_ref[:, :] + contrib.reshape(WINDOW, WINDOW * c)
+        win_ref[:, :] = win_ref[:, :] + contrib.reshape(window, window * c)
 
         copy_out = pltpu.make_async_copy(
             win_ref,
             df_ref.at[
-                pl.ds(sy8_ref[i] * row_align, WINDOW),
-                pl.ds(sxa_ref[i] * (lane_align * c), WINDOW * c),
+                pl.ds(sy8_ref[i] * row_align, window),
+                pl.ds(sxa_ref[i] * (lane_align * c), window * c),
             ],
             sem,
         )
@@ -258,6 +262,7 @@ def pallas_roi_align_window(
     level_stride: int | None = None,
     window_dtype: jnp.dtype = jnp.float32,
     backward: str = "window",
+    window: int = WINDOW,
 ) -> jnp.ndarray:
     """FPN-style RoIAlign (roi_crop_fpn sampling) via the windowed kernel.
 
@@ -276,6 +281,12 @@ def pallas_roi_align_window(
     windowed sampling, with no [N, S, W, C] transposes; 'einsum' keeps the
     transpose-of-einsum backward (which also back-propagates the
     out-of-window contributions the windowed forward never computed).
+    `window`: cells per side DMA'd per roi (default 64). FPN level
+    assignment bounds an assigned roi's span to sqrt(wh) < 28 cells at its
+    level, i.e. a 64-cell window is exact up to aspect ~5 and 40 covers
+    aspect ~2 (the anchor ratios); smaller windows cut the kernel's DMA
+    traffic quadratically and truncate only hyper-elongated proposals'
+    outermost samples. Must be a multiple of 16.
     Returns [B, N, S, S, C] (or [N, S, S, C]) f32, S = crop_size.
 
     Differentiable in `features` (detection training backprops through
@@ -295,12 +306,15 @@ def pallas_roi_align_window(
     act = (jnp.asarray(active) != 0).astype(jnp.float32)
     if backward not in ("window", "einsum"):
         raise ValueError(f"unknown backward {backward!r}")
+    if window % 16:
+        raise ValueError(f"window must be a multiple of 16, got {window}")
     out = _roi_align_vjp(
         crop_size,
         interpret,
         level_stride,
         jnp.dtype(window_dtype).name,
         backward,
+        int(window),
         features,
         jax.lax.stop_gradient(rois),
         act,
@@ -364,36 +378,36 @@ def _einsum_equiv(features, rois, act, ih, iw, crop_size, level_stride):
     return out * act[..., None, None, None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _roi_align_vjp(
-    crop_size, interpret, level_stride, window_dtype, backward,
+    crop_size, interpret, level_stride, window_dtype, backward, window,
     features, rois, act, ih, iw,
 ):
     return _pallas_forward(
         features, rois, act, ih, iw, crop_size, interpret, level_stride,
-        window_dtype,
+        window_dtype, window,
     )
 
 
 def _roi_align_vjp_fwd(
-    crop_size, interpret, level_stride, window_dtype, backward,
+    crop_size, interpret, level_stride, window_dtype, backward, window,
     features, rois, act, ih, iw,
 ):
     out = _pallas_forward(
         features, rois, act, ih, iw, crop_size, interpret, level_stride,
-        window_dtype,
+        window_dtype, window,
     )
     return out, (features, rois, act, ih, iw)
 
 
 def _roi_align_vjp_bwd(
-    crop_size, interpret, level_stride, window_dtype, backward, res, g
+    crop_size, interpret, level_stride, window_dtype, backward, window, res, g
 ):
     features, rois, act, ih, iw = res
     if backward == "window":
         df = _pallas_backward(
             g, features.shape, rois, act, ih, iw, crop_size, interpret,
-            level_stride,
+            level_stride, window,
         )
     else:
         _, vjp = jax.vjp(
@@ -416,7 +430,7 @@ _roi_align_vjp.defvjp(_roi_align_vjp_fwd, _roi_align_vjp_bwd)
 
 
 def _window_geometry(
-    rois, active, ih, iw, b, n, h, w, s, level_stride, row_align, c
+    rois, active, ih, iw, b, n, h, w, s, level_stride, row_align, c, window
 ):
     """Shared forward/backward geometry: per-roi window origins (tile-aligned,
     pre-divided for Mosaic), absolute sample coords, active mask, and the
@@ -443,19 +457,19 @@ def _window_geometry(
     ys = jnp.where(y_bad, -1e9, jnp.clip(ys, 0.0, by[:, None, None]))
     xs = jnp.where(x_bad, -1e9, jnp.clip(xs, 0.0, bx[:, None, None]))
 
-    # pad so a WINDOW-sized window always fits inside each image's rows;
+    # pad so a window-sized window always fits inside each image's rows;
     # hp is rounded to the sublane tile (8 rows f32, 16 rows bf16) so
     # per-image row bases (b * hp) keep DMA origins tile-aligned
-    hp = -(-max(h, WINDOW) // row_align) * row_align
-    wp = max(w, WINDOW)
+    hp = -(-max(h, window) // row_align) * row_align
+    wp = max(w, window)
 
     # per-roi window origin: floor of the smallest in-range sample coord,
     # clamped inside this image's row span of the folded plane
     ymin = jnp.min(jnp.where(y_bad, jnp.inf, ys), axis=-1)
     xmin = jnp.min(jnp.where(x_bad, jnp.inf, xs), axis=-1)
     row_base = (jnp.arange(b, dtype=jnp.float32) * hp)[:, None]
-    sy = jnp.clip(jnp.floor(jnp.where(jnp.isfinite(ymin), ymin, 0.0)), 0, hp - WINDOW)
-    sx = jnp.clip(jnp.floor(jnp.where(jnp.isfinite(xmin), xmin, 0.0)), 0, wp - WINDOW)
+    sy = jnp.clip(jnp.floor(jnp.where(jnp.isfinite(ymin), ymin, 0.0)), 0, hp - window)
+    sx = jnp.clip(jnp.floor(jnp.where(jnp.isfinite(xmin), xmin, 0.0)), 0, wp - window)
     # Mosaic requires DMA slice origins aligned to the (8, 128) tile: round
     # the row origin down to the sublane tile and the column origin so sx*c
     # is a lane-tile multiple (a no-op when c is a multiple of 128). Costs
@@ -473,7 +487,9 @@ def _window_geometry(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("crop_size", "interpret", "level_stride", "window_dtype"),
+    static_argnames=(
+        "crop_size", "interpret", "level_stride", "window_dtype", "window"
+    ),
 )
 def _pallas_forward(
     features: jnp.ndarray,
@@ -485,6 +501,7 @@ def _pallas_forward(
     interpret: bool = False,
     level_stride: int | None = None,
     window_dtype: str = "float32",
+    window: int = WINDOW,
 ) -> jnp.ndarray:
     b, h, w, c = features.shape
     n = rois.shape[1]
@@ -494,7 +511,8 @@ def _pallas_forward(
     wdtype = jnp.dtype(window_dtype)
     row_align = 16 if wdtype == jnp.bfloat16 else 8
     sy8, sxa, coords, act, hp, wp, lane_align = _window_geometry(
-        rois, active, ih, iw, b, n, h, w, s, level_stride, row_align, c
+        rois, active, ih, iw, b, n, h, w, s, level_stride, row_align, c,
+        window,
     )
     if (hp, wp) != (h, w):
         features = jnp.pad(features, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
@@ -511,8 +529,8 @@ def _pallas_forward(
         ],
         out_specs=pl.BlockSpec((1, s, s * c), lambda i, sy, sx, a: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((WINDOW, WINDOW * c), wdtype),
-            pltpu.VMEM((WINDOW, WINDOW * c), wdtype),
+            pltpu.VMEM((window, window * c), wdtype),
+            pltpu.VMEM((window, window * c), wdtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -520,7 +538,7 @@ def _pallas_forward(
     out = pl.pallas_call(
         functools.partial(
             _kernel, crop=s, c=c, lane_align=lane_align,
-            row_align=row_align, total=b * n,
+            row_align=row_align, total=b * n, window=window,
         ),
         out_shape=jax.ShapeDtypeStruct((b * n, s, s * c), jnp.float32),
         grid_spec=grid_spec,
@@ -531,7 +549,9 @@ def _pallas_forward(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("feat_shape", "crop_size", "interpret", "level_stride"),
+    static_argnames=(
+        "feat_shape", "crop_size", "interpret", "level_stride", "window"
+    ),
 )
 def _pallas_backward(
     g: jnp.ndarray,
@@ -543,6 +563,7 @@ def _pallas_backward(
     crop_size: int,
     interpret: bool = False,
     level_stride: int | None = None,
+    window: int = WINDOW,
 ) -> jnp.ndarray:
     """df/dfeatures for the windowed forward: per-roi window scatter-add.
 
@@ -559,7 +580,8 @@ def _pallas_backward(
     iw = jnp.broadcast_to(jnp.asarray(image_width, jnp.float32), (b,))
     row_align = 8  # f32 plane
     sy8, sxa, coords, act, hp, wp, lane_align = _window_geometry(
-        rois, active, ih, iw, b, n, h, w, s, level_stride, row_align, c
+        rois, active, ih, iw, b, n, h, w, s, level_stride, row_align, c,
+        window,
     )
     g2 = g.reshape(b * n, s, s * c).astype(jnp.float32)
     df0 = jnp.zeros((b * hp, wp * c), jnp.float32)
@@ -575,14 +597,14 @@ def _pallas_backward(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((WINDOW, WINDOW * c), jnp.float32),
+            pltpu.VMEM((window, window * c), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     df = pl.pallas_call(
         functools.partial(
             _bwd_kernel, crop=s, c=c, lane_align=lane_align,
-            row_align=row_align,
+            row_align=row_align, window=window,
         ),
         out_shape=jax.ShapeDtypeStruct((b * hp, wp * c), jnp.float32),
         grid_spec=grid_spec,
