@@ -41,6 +41,9 @@ def main():
         "BENCH_WINDOW_DTYPE", cfg.get("tpu_roi_align_window_dtype", "float32")
     )
     cfg["tpu_roi_align_window"] = int(os.environ.get("BENCH_WINDOW", "64"))
+    cfg["tpu_roi_align_fused_levels"] = (
+        os.environ.get("BENCH_FUSED_LEVELS", "1") != "0"
+    )
     cfg["tpu_compute_dtype"] = os.environ.get("BENCH_DTYPE", cfg["tpu_compute_dtype"])
     b = int(os.environ.get("BENCH_BATCH", "1"))
     cfg["tpu_train_batch_size_per_device"] = b

@@ -414,3 +414,99 @@ def test_pallas_roi_align_window_must_be_multiple_of_16():
             jnp.zeros((8, 8, 8)), jnp.zeros((1, 4)), jnp.ones((1,)),
             32.0, 32.0, 14, interpret=True, window=40 + 1,
         )
+
+
+def test_pallas_multilevel_matches_per_level_sum():
+    """Fused-pyramid kernel == the sum of per-level windowed calls (forward
+    AND feature gradients), including padded planes and invalid rois."""
+    from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
+        pallas_roi_align_multilevel,
+    )
+
+    rng = np.random.RandomState(7)
+    b, n, c = 2, 6, 16
+    strides = (4, 8)
+    shapes = [(48, 64), (24, 32)]
+    p_list = [rng.randn(b, h, w, c).astype(np.float32) for h, w in shapes]
+    ih = np.asarray([180.0, 150.0], np.float32)  # valid extent < padded grid
+    iw = np.asarray([250.0, 200.0], np.float32)
+    rois = rng.uniform(0, 140, (b, n, 4)).astype(np.float32)
+    rois = np.concatenate(
+        [np.minimum(rois[..., :2], rois[..., 2:]),
+         np.maximum(rois[..., :2], rois[..., 2:]) + 4.0], axis=-1,
+    )
+    levels = rng.randint(0, 2, (b, n))
+    valid = np.ones((b, n), np.int32)
+    valid[1, -1] = 0
+
+    def fused(planes):
+        return pallas_roi_align_multilevel(
+            planes, jnp.asarray(rois), jnp.asarray(levels),
+            jnp.asarray(ih), jnp.asarray(iw), 14, strides=strides,
+            valid=jnp.asarray(valid), interpret=True,
+        )
+
+    def per_level(planes):
+        total = 0.0
+        for k in range(2):
+            total = total + pallas_roi_align_window(
+                planes[k], jnp.asarray(rois),
+                jnp.asarray((levels == k) & (valid != 0)),
+                jnp.asarray(ih), jnp.asarray(iw), 14, interpret=True,
+                level_stride=strides[k],
+            )
+        return total
+
+    planes = tuple(jnp.asarray(f) for f in p_list)
+    got = np.asarray(fused(planes))
+    want = np.asarray(per_level(planes))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert not np.asarray(got[1, -1]).any()  # invalid roi -> zeros
+
+    g_fused = jax.grad(lambda ps: fused(ps).sum())(planes)
+    g_ref = jax.grad(lambda ps: per_level(ps).sum())(planes)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-5
+        )
+    assert any(float(jnp.abs(a).sum()) > 0 for a in g_fused)
+
+
+def test_fpn_fused_levels_matches_per_level_model_path():
+    """FPN predict with tpu_roi_align_fused_levels on == off (interpret)."""
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+
+    def small_cfg(fused):
+        cfg = dict(config_factory("pascal", "fpn"))
+        cfg.update(
+            {
+                "tpu_image_buckets": [[128, 128]],
+                "image_min_size": 128,
+                "image_max_size": 128,
+                "rpn_proposal_test_pre_nms_sample_number": 256,
+                "rpn_proposal_test_after_nms_sample_number": 16,
+                "roi_total_sample_number": 16,
+                "tpu_max_gt_boxes": 4,
+                "tpu_roi_align_impl": "pallas_interpret",
+                "tpu_roi_align_fused_levels": fused,
+            }
+        )
+        return cfg
+
+    rng = np.random.RandomState(3)
+    image = jnp.asarray(rng.randn(128, 128, 3).astype(np.float32))
+    hw = jnp.asarray([120, 124], jnp.int32)
+
+    outs = {}
+    for fused in (True, False):
+        det = model_factory("fpn", "resnet50", small_cfg(fused))
+        params = det.init_params(jax.random.PRNGKey(0))
+        outs[fused] = det.predict(params, image, hw)
+    np.testing.assert_allclose(
+        np.asarray(outs[True].boxes), np.asarray(outs[False].boxes),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[True].valid), np.asarray(outs[False].valid)
+    )

@@ -329,11 +329,28 @@ class FPNDetector:
         """
         levels = self._roi_levels(rois)
         if self._use_pallas_roi_align(training):
+            s2 = 2 * self.cfg["roi_pooling_size"]
+            n_lvl = self.max_level - self.min_level + 1
+            if self.cfg.get("tpu_roi_align_fused_levels", True):
+                from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
+                    pallas_roi_align_multilevel,
+                )
+
+                total = pallas_roi_align_multilevel(
+                    tuple(f[None] for f in p_list_i[:n_lvl]),
+                    rois[None],
+                    (levels - self.min_level)[None],
+                    image_hw[0], image_hw[1], s2,
+                    strides=self.strides[:n_lvl],
+                    interpret=self._pallas_interpret(),
+                    window_dtype=self._pallas_window_dtype(),
+                    window=self._pallas_window(),
+                )[0]
+                return max_pool_2x2_same(total)
             from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
                 pallas_roi_align_window,
             )
 
-            s2 = 2 * self.cfg["roi_pooling_size"]
             total = 0.0
             for i, lvl in enumerate(range(self.min_level, self.max_level + 1)):
                 total = total + pallas_roi_align_window(
@@ -381,22 +398,39 @@ class FPNDetector:
             return jax.vmap(
                 lambda pl_, r_, hw_: self._roi_features(pl_, r_, hw_, training)
             )(tuple(p_list), rois, image_hw)
-        from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
-            pallas_roi_align_window,
-        )
-
         levels = self._roi_levels(rois)  # [B, N]
         s2 = 2 * self.cfg["roi_pooling_size"]
-        total = 0.0
-        for i, lvl in enumerate(range(self.min_level, self.max_level + 1)):
-            total = total + pallas_roi_align_window(
-                p_list[i], rois, levels == lvl,
+        n_lvl = self.max_level - self.min_level + 1
+        if self.cfg.get("tpu_roi_align_fused_levels", True):
+            from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
+                pallas_roi_align_multilevel,
+            )
+
+            total = pallas_roi_align_multilevel(
+                tuple(p_list[:n_lvl]),
+                rois,
+                levels - self.min_level,
                 image_hw[:, 0], image_hw[:, 1], s2,
+                strides=self.strides[:n_lvl],
                 interpret=self._pallas_interpret(),
-                level_stride=self.strides[i],
                 window_dtype=self._pallas_window_dtype(),
                 window=self._pallas_window(),
             )
+        else:
+            from tf_eager_object_detection_tpu.ops.pallas.roi_align_pallas import (
+                pallas_roi_align_window,
+            )
+
+            total = 0.0
+            for i, lvl in enumerate(range(self.min_level, self.max_level + 1)):
+                total = total + pallas_roi_align_window(
+                    p_list[i], rois, levels == lvl,
+                    image_hw[:, 0], image_hw[:, 1], s2,
+                    interpret=self._pallas_interpret(),
+                    level_stride=self.strides[i],
+                    window_dtype=self._pallas_window_dtype(),
+                    window=self._pallas_window(),
+                )
         b, n = total.shape[:2]
         pooled = max_pool_2x2_same(total.reshape((b * n,) + total.shape[2:]))
         return pooled.reshape((b, n) + pooled.shape[1:])

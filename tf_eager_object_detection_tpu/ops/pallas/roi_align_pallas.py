@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_roi_align_window", "WINDOW"]
+__all__ = ["pallas_roi_align_window", "pallas_roi_align_multilevel", "WINDOW"]
 
 WINDOW = 64  # default feature cells per side DMA'd for each roi
 
@@ -615,3 +615,458 @@ def _pallas_backward(
     )(sy8, sxa, act, coords, g2, df0)
     df = df.reshape(b, hp, wp, c)[:, :h, :w, :]
     return df
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-level kernel: one grid step per roi across the WHOLE pyramid.
+#
+# The per-level kernel runs a (B*N)-step grid per pyramid level — at FPN
+# train shapes that is 4x256 forward + 4x256 backward grid steps per train
+# step, of which 3/4 are level-inactive (they only zero their output block)
+# — plus a 4-way output sum on the XLA side. FPN assigns every roi to
+# EXACTLY one level (base_fpn_model.py:309-313), so the fused kernel makes
+# the level a scalar-prefetched per-roi input instead: (B*N) grid steps
+# total, each DMA-ing its window from the right level's plane, one output,
+# no zero-blocks, no cross-level sum.
+# ---------------------------------------------------------------------------
+
+
+def _ml_window_copy(
+    feat_refs, lvl_ref, sy8_ref, sxa_ref, j, win_ref, sem, c, lane_align,
+    row_align, window, start: bool,
+):
+    """Issue (or wait for) roi j's window copy from its level's plane.
+
+    The async-copy descriptor must be identical at start and wait, so both
+    go through this helper; the level branch re-selects the same ref.
+    """
+    for k, fref in enumerate(feat_refs):
+        @pl.when(lvl_ref[j] == k)
+        def _(fref=fref):
+            cp = pltpu.make_async_copy(
+                fref.at[
+                    pl.ds(sy8_ref[j] * row_align, window),
+                    pl.ds(sxa_ref[j] * (lane_align * c), window * c),
+                ],
+                win_ref,
+                sem,
+            )
+            if start:
+                cp.start()
+            else:
+                cp.wait()
+
+
+def _ml_kernel(
+    lvl_ref,
+    sy8_ref,
+    sxa_ref,
+    valid_ref,
+    coords_ref,
+    *rest,
+    crop: int,
+    c: int,
+    lane_align: int,
+    row_align: int,
+    total: int,
+    window: int,
+    n_levels: int,
+):
+    feat_refs = rest[:n_levels]
+    out_ref, win0_ref, win1_ref, sem0, sem1 = rest[n_levels:]
+    i = pl.program_id(0)
+    sy = sy8_ref[i] * row_align
+    sx = sxa_ref[i] * lane_align
+
+    @pl.when(jnp.logical_and(i == 0, valid_ref[i] != 0))
+    def _prologue():
+        _ml_window_copy(
+            feat_refs, lvl_ref, sy8_ref, sxa_ref, i, win0_ref, sem0, c,
+            lane_align, row_align, window, start=True,
+        )
+
+    nxt = jnp.minimum(i + 1, total - 1)
+    start_next = jnp.logical_and(i + 1 < total, valid_ref[nxt] != 0)
+
+    @pl.when(jnp.logical_and(start_next, (i + 1) % 2 == 0))
+    def _start_next_even():
+        _ml_window_copy(
+            feat_refs, lvl_ref, sy8_ref, sxa_ref, nxt, win0_ref, sem0, c,
+            lane_align, row_align, window, start=True,
+        )
+
+    @pl.when(jnp.logical_and(start_next, (i + 1) % 2 == 1))
+    def _start_next_odd():
+        _ml_window_copy(
+            feat_refs, lvl_ref, sy8_ref, sxa_ref, nxt, win1_ref, sem1, c,
+            lane_align, row_align, window, start=True,
+        )
+
+    @pl.when(valid_ref[i] == 0)
+    def _skip():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    def _interpolate(win_ref):
+        ys = coords_ref[0, 0:1, :] - sy.astype(jnp.float32)
+        xs = coords_ref[0, 1:2, :] - sx.astype(jnp.float32)
+        cells = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1).astype(
+            jnp.float32
+        )
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.transpose(ys) - cells))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.transpose(xs) - cells))
+        win = win_ref[:, :]
+        win_prec = (
+            None if win.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        )
+        rows = jnp.dot(
+            wy.astype(win.dtype),
+            win,
+            preferred_element_type=jnp.float32,
+            precision=win_prec,
+        )
+        rows3 = rows.reshape(crop, window, c)
+        wxb = jnp.broadcast_to(wx[None], (crop, crop, window))
+        out = jax.lax.dot_general(
+            wxb,
+            rows3,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[0] = out.reshape(crop, crop * c)
+
+    @pl.when(jnp.logical_and(valid_ref[i] != 0, i % 2 == 0))
+    def _compute_even():
+        _ml_window_copy(
+            feat_refs, lvl_ref, sy8_ref, sxa_ref, i, win0_ref, sem0, c,
+            lane_align, row_align, window, start=False,
+        )
+        _interpolate(win0_ref)
+
+    @pl.when(jnp.logical_and(valid_ref[i] != 0, i % 2 == 1))
+    def _compute_odd():
+        _ml_window_copy(
+            feat_refs, lvl_ref, sy8_ref, sxa_ref, i, win1_ref, sem1, c,
+            lane_align, row_align, window, start=False,
+        )
+        _interpolate(win1_ref)
+
+
+def _ml_bwd_kernel(
+    lvl_ref,
+    sy8_ref,
+    sxa_ref,
+    valid_ref,
+    coords_ref,
+    g_ref,
+    *rest,
+    crop: int,
+    c: int,
+    lane_align: int,
+    row_align: int,
+    window: int,
+    n_levels: int,
+):
+    """Fused-backward: RMW each roi's window in its own level's df plane.
+    dfin refs are aliased onto the df outputs; grid steps are sequential so
+    overlapping windows accumulate race-free."""
+    df_refs = rest[n_levels : 2 * n_levels]  # dfin refs ignored
+    win_ref, sem = rest[2 * n_levels], rest[2 * n_levels + 1]
+    i = pl.program_id(0)
+    sy = sy8_ref[i] * row_align
+    sx = sxa_ref[i] * lane_align
+
+    @pl.when(valid_ref[i] != 0)
+    def _accumulate():
+        _ml_window_copy(
+            df_refs, lvl_ref, sy8_ref, sxa_ref, i, win_ref, sem, c,
+            lane_align, row_align, window, start=True,
+        )
+        _ml_window_copy(
+            df_refs, lvl_ref, sy8_ref, sxa_ref, i, win_ref, sem, c,
+            lane_align, row_align, window, start=False,
+        )
+
+        ys = coords_ref[0, 0:1, :] - sy.astype(jnp.float32)
+        xs = coords_ref[0, 1:2, :] - sx.astype(jnp.float32)
+        cells = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0).astype(
+            jnp.float32
+        )
+        wyt = jnp.maximum(0.0, 1.0 - jnp.abs(cells - ys))
+        wxt = jnp.maximum(0.0, 1.0 - jnp.abs(cells - xs))
+        g2 = g_ref[0]
+        t1 = jnp.dot(
+            wyt,
+            g2,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        t13 = t1.reshape(window, crop, c)
+        wxb = jnp.broadcast_to(wxt[None], (window, window, crop))
+        contrib = jax.lax.dot_general(
+            wxb,
+            t13,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        win_ref[:, :] = win_ref[:, :] + contrib.reshape(window, window * c)
+
+        for k, dref in enumerate(df_refs):
+            @pl.when(lvl_ref[i] == k)
+            def _(dref=dref):
+                cp = pltpu.make_async_copy(
+                    win_ref,
+                    dref.at[
+                        pl.ds(sy8_ref[i] * row_align, window),
+                        pl.ds(sxa_ref[i] * (lane_align * c), window * c),
+                    ],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+
+
+def _multilevel_geometry(
+    rois, levels, valid, ih, iw, shapes, strides, s, row_align, c, window
+):
+    """Per-roi window origins/coords against each roi's OWN level's plane.
+
+    shapes: tuple of (h_l, w_l); strides: per-level feature strides.
+    Returns (lvl, sy8, sxa, valid, coords, hps, wps, lane_align) with the
+    flat [B*N] per-roi arrays selected level-wise.
+    """
+    b, n = rois.shape[:2]
+    sy8s, sxas, coordss, hps, wps = [], [], [], [], []
+    lane_align = 128 // math.gcd(c, 128)
+    for (h_l, w_l), stride_l in zip(shapes, strides):
+        sy8_l, sxa_l, coords_l, _, hp_l, wp_l, la = _window_geometry(
+            rois, jnp.ones((b, n), jnp.int32), ih, iw, b, n, h_l, w_l, s,
+            stride_l, row_align, c, window,
+        )
+        assert la == lane_align
+        sy8s.append(sy8_l)
+        sxas.append(sxa_l)
+        coordss.append(coords_l)
+        hps.append(hp_l)
+        wps.append(wp_l)
+    lvl = levels.reshape(b * n).astype(jnp.int32)
+    sy8 = jnp.select([lvl == k for k in range(len(shapes))], sy8s)
+    sxa = jnp.select([lvl == k for k in range(len(shapes))], sxas)
+    coords = jnp.select(
+        [(lvl == k)[:, None, None] for k in range(len(shapes))], coordss
+    )
+    val = (jnp.asarray(valid) != 0).astype(jnp.int32).reshape(b * n)
+    return lvl, sy8, sxa, val, coords, tuple(hps), tuple(wps), lane_align
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "strides", "crop_size", "interpret", "window_dtype", "window"
+    ),
+)
+def _ml_forward(
+    p_list,
+    rois,
+    levels,
+    valid,
+    ih,
+    iw,
+    strides,
+    crop_size: int,
+    interpret: bool = False,
+    window_dtype: str = "float32",
+    window: int = WINDOW,
+):
+    b, n = rois.shape[:2]
+    c = p_list[0].shape[-1]
+    s = crop_size
+    wdtype = jnp.dtype(window_dtype)
+    row_align = 16 if wdtype == jnp.bfloat16 else 8
+    shapes = tuple((f.shape[1], f.shape[2]) for f in p_list)
+    lvl, sy8, sxa, val, coords, hps, wps, lane_align = _multilevel_geometry(
+        rois, levels, valid, ih, iw, shapes, strides, s, row_align, c, window
+    )
+    planes = []
+    for f, (h_l, w_l), hp_l, wp_l in zip(p_list, shapes, hps, wps):
+        if (hp_l, wp_l) != (h_l, w_l):
+            f = jnp.pad(f, ((0, 0), (0, hp_l - h_l), (0, wp_l - w_l), (0, 0)))
+        planes.append(f.reshape(b * hp_l, wp_l * c).astype(wdtype))
+
+    nl = len(planes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # lvl, sy8, sxa, valid
+        grid=(b * n,),
+        in_specs=[pl.BlockSpec((1, 2, s), lambda i, *_: (i, 0, 0))]
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * nl,
+        out_specs=pl.BlockSpec((1, s, s * c), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((window, window * c), wdtype),
+            pltpu.VMEM((window, window * c), wdtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _ml_kernel, crop=s, c=c, lane_align=lane_align,
+            row_align=row_align, total=b * n, window=window, n_levels=nl,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * n, s, s * c), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lvl, sy8, sxa, val, coords, *planes)
+    return out.reshape(b, n, s, s, c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "feat_shapes", "strides", "crop_size", "interpret", "window"
+    ),
+)
+def _ml_backward(
+    g,
+    feat_shapes,
+    rois,
+    levels,
+    valid,
+    ih,
+    iw,
+    strides,
+    crop_size: int,
+    interpret: bool = False,
+    window: int = WINDOW,
+):
+    b, n = rois.shape[:2]
+    c = feat_shapes[0][-1]
+    s = crop_size
+    row_align = 8  # f32 planes
+    shapes = tuple((fs[1], fs[2]) for fs in feat_shapes)
+    lvl, sy8, sxa, val, coords, hps, wps, lane_align = _multilevel_geometry(
+        rois, levels, valid, ih, iw, shapes, strides, s, row_align, c, window
+    )
+    g2 = g.reshape(b * n, s, s * c).astype(jnp.float32)
+    dfs0 = [
+        jnp.zeros((b * hp_l, wp_l * c), jnp.float32)
+        for hp_l, wp_l in zip(hps, wps)
+    ]
+    nl = len(dfs0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b * n,),
+        in_specs=[
+            pl.BlockSpec((1, 2, s), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, s, s * c), lambda i, *_: (i, 0, 0)),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * nl,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * nl,
+        scratch_shapes=[
+            pltpu.VMEM((window, window * c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    # flattened input index (incl. the 4 scalar-prefetch args): lvl=0 sxa..=1,2
+    # valid=3 coords=4 g=5 dfin_k=6+k -> aliases output k
+    dfs = pl.pallas_call(
+        functools.partial(
+            _ml_bwd_kernel, crop=s, c=c, lane_align=lane_align,
+            row_align=row_align, window=window, n_levels=nl,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * hp_l, wp_l * c), jnp.float32)
+            for hp_l, wp_l in zip(hps, wps)
+        ],
+        grid_spec=grid_spec,
+        input_output_aliases={6 + k: k for k in range(nl)},
+        interpret=interpret,
+    )(lvl, sy8, sxa, val, coords, g2, *dfs0)
+    out = []
+    for df, (h_l, w_l), hp_l, wp_l in zip(dfs, shapes, hps, wps):
+        out.append(df.reshape(b, hp_l, wp_l, c)[:, :h_l, :w_l, :])
+    return tuple(out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _ml_vjp(strides, crop_size, interpret, window_dtype, window,
+            p_list, rois, levels_f, valid_f, ih, iw):
+    return _ml_forward(
+        p_list, rois, levels_f.astype(jnp.int32), valid_f, ih, iw, strides,
+        crop_size, interpret, window_dtype, window,
+    )
+
+
+def _ml_vjp_fwd(strides, crop_size, interpret, window_dtype, window,
+                p_list, rois, levels_f, valid_f, ih, iw):
+    out = _ml_forward(
+        p_list, rois, levels_f.astype(jnp.int32), valid_f, ih, iw, strides,
+        crop_size, interpret, window_dtype, window,
+    )
+    return out, (tuple(f.shape for f in p_list), rois, levels_f, valid_f, ih, iw)
+
+
+def _ml_vjp_bwd(strides, crop_size, interpret, window_dtype, window, res, g):
+    feat_shapes, rois, levels_f, valid_f, ih, iw = res
+    dfs = _ml_backward(
+        g, feat_shapes, rois, levels_f.astype(jnp.int32), valid_f, ih, iw,
+        strides, crop_size, interpret, window,
+    )
+    return (
+        dfs,
+        jnp.zeros_like(rois),
+        jnp.zeros_like(levels_f),
+        jnp.zeros_like(valid_f),
+        jnp.zeros_like(ih),
+        jnp.zeros_like(iw),
+    )
+
+
+_ml_vjp.defvjp(_ml_vjp_fwd, _ml_vjp_bwd)
+
+
+def pallas_roi_align_multilevel(
+    p_list,
+    rois,
+    levels,
+    image_height,
+    image_width,
+    crop_size: int,
+    strides,
+    valid=None,
+    interpret: bool = False,
+    window_dtype: jnp.dtype = jnp.float32,
+    window: int = WINDOW,
+):
+    """Fused-pyramid RoIAlign: every roi's window from its own level, one
+    kernel launch for the whole pyramid (see module comment above).
+
+    p_list: per-level [B, H_l, W_l, C] padded-bucket planes (p2..p5);
+    rois: [B, N, 4] xyxy pixels; levels: [B, N] int level INDEX into p_list
+    (0 = min_level); strides: per-level feature strides (static);
+    valid: [B, N] optional — rois with valid == 0 return zero crops and
+    skip their DMA entirely. Sampling semantics identical to summing
+    `pallas_roi_align_window(p_list[k], rois, levels == k, ...)` over k
+    (tested), i.e. roi_crop_fpn / TF crop_and_resize per level.
+    Returns [B, N, S, S, C] f32.
+    """
+    if window % 16:
+        raise ValueError(f"window must be a multiple of 16, got {window}")
+    b, n = rois.shape[:2]
+    if valid is None:
+        valid = jnp.ones((b, n), jnp.float32)
+    ih = jnp.broadcast_to(jnp.asarray(image_height, jnp.float32), (b,))
+    iw = jnp.broadcast_to(jnp.asarray(image_width, jnp.float32), (b,))
+    return _ml_vjp(
+        tuple(int(s) for s in strides),
+        int(crop_size),
+        bool(interpret),
+        jnp.dtype(window_dtype).name,
+        int(window),
+        tuple(p_list),
+        jax.lax.stop_gradient(rois),
+        levels.astype(jnp.float32),
+        jnp.asarray(valid).astype(jnp.float32),
+        ih,
+        iw,
+    )
