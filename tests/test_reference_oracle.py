@@ -26,14 +26,17 @@ _STRIP_PREFIXES = (
     "import tensorflow",
     "import numpy",
     "from six.moves",
+    "from object_detection",
 )
 
 
-def _load_ref(relpath: str):
+def _load_ref(relpath: str, inject=None):
     """Exec a reference module's source with tf -> tf.compat.v1.
 
     The reference is TF1-API (tf.to_float / tf.log / tf.losses.*); binding
-    `tf` to tf.compat.v1 runs it unchanged under TF2 eager. Returns the
+    `tf` to tf.compat.v1 runs it unchanged under TF2 eager. `inject` maps
+    names the module imports `from object_detection...` to already-loaded
+    oracle functions (the imports themselves are stripped). Returns the
     module namespace as a dict.
     """
     path = os.path.join(REF_ROOT, relpath)
@@ -45,13 +48,18 @@ def _load_ref(relpath: str):
         for line in src.splitlines()
         if not line.startswith(_STRIP_PREFIXES)
     ]
+    from tensorflow.python.platform import tf_logging
+
     ns = {
         "tf": tf.compat.v1,
         "np": np,
         "range": range,
+        "tf_logging": tf_logging,
         "__name__": "ref_oracle_" + relpath.replace("/", "_"),
         "__file__": path,
     }
+    if inject:
+        ns.update(inject)
     exec(compile("\n".join(lines), path, "exec"), ns)
     return ns
 

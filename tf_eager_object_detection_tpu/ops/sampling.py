@@ -208,7 +208,10 @@ def proposal_target(
     )
     bg_idx_wr = jax.random.categorical(key_bg_wr, bg_logits, shape=(s,))
 
-    use_wor = num_bg_avail > num_bg_needed
+    # without replacement also when bg EXACTLY fills the quota — the
+    # reference's `elif ==: pass` keeps each bg once (proposal_target.py:72-73;
+    # proven by the executing-oracle test); replacement only when scarce
+    use_wor = num_bg_avail >= num_bg_needed
     bg_idx_all = jnp.where(use_wor, bg_idx_wor, bg_idx_wr)  # [S]
 
     # Assemble output slots: [fg_0..fg_{num_fg-1}, bg_0, ...].
