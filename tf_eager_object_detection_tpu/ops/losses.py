@@ -22,7 +22,11 @@ def cls_loss(logits: jnp.ndarray, labels: jnp.ndarray, weights=None) -> jnp.ndar
     """
     labels = jnp.maximum(labels, 0)  # masked rows contribute 0 anyway
     log_p = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(log_p, labels[:, None], axis=-1)[:, 0]
+    # one-hot multiply-sum instead of take_along_axis: the row gather lowered
+    # to a ~1.3 ms/step custom fusion on the FPN 163k-anchor RPN loss (trace
+    # fusion.19); the one-hot form fuses into plain elementwise + reduce
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=log_p.dtype)
+    nll = -jnp.sum(log_p * onehot, axis=-1)
     if weights is None:
         return jnp.mean(nll)
     w = weights.astype(jnp.float32)
