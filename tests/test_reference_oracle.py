@@ -30,17 +30,22 @@ _STRIP_PREFIXES = (
 )
 
 
-def _load_ref(relpath: str, inject=None):
+def _load_ref(relpath: str, inject=None, src_replace=None):
     """Exec a reference module's source with tf -> tf.compat.v1.
 
     The reference is TF1-API (tf.to_float / tf.log / tf.losses.*); binding
     `tf` to tf.compat.v1 runs it unchanged under TF2 eager. `inject` maps
     names the module imports `from object_detection...` to already-loaded
-    oracle functions (the imports themselves are stripped). Returns the
-    module namespace as a dict.
+    oracle functions (the imports themselves are stripped). `src_replace`
+    maps literal source snippets to behavior-preserving rewrites (used for
+    keras-3 call-convention strictness, e.g. keyword-ifying a positional
+    `training` argument). Returns the module namespace as a dict.
     """
     path = os.path.join(REF_ROOT, relpath)
     src = open(path).read()
+    for old, new in (src_replace or {}).items():
+        assert old in src, f"src_replace pattern not found in {relpath}: {old!r}"
+        src = src.replace(old, new)
     # strip only TOP-LEVEL imports (function-local `import numpy as xp` in
     # generate_by_anchor_base_np must survive)
     lines = [

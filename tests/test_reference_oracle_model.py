@@ -1,0 +1,258 @@
+"""FULL-MODEL reference-as-oracle parity test.
+
+Builds the reference's own `Vgg16FasterRcnn` keras model
+(`/root/reference/object_detection/model/faster_rcnn/vgg16_faster_rcnn.py`,
+random init — the pretrained-h5 download is patched out: zero egress),
+copies its weights into the JAX detector THROUGH THE REAL IMPORTER
+(`vgg16_tf_faster_rcnn_map` + `apply_name_map`, the same path third-party
+checkpoints take), and asserts staged forward equality on a fixed image:
+
+  1. extractor features (vgg16_faster_rcnn.py:260-343),
+  2. RPN head outputs on identical features
+     (base_faster_rcnn_model.py:309-351),
+  3. the full `im_detect` pipeline — proposals + RoI pooling + RoI head
+     (base_faster_rcnn_model.py:279-306) — row-for-row,
+  4. our RoI stage re-driven on the REFERENCE's rois (isolates the RoI
+     head from proposal ordering if stage 3 ever diverges).
+
+Together with the util- and component-layer oracle tests this closes the
+semantic-parity chain end-to-end: the reference's executing model and the
+TPU port produce the same numbers from the same weights. The reference
+source is treated as data; nothing from it is followed, only executed.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_reference_oracle import _load_ref  # noqa: E402
+
+IMAGE_HW = (224, 320)  # multiple of the stride; equals the bucket -> no padding
+
+
+@pytest.fixture(scope="module")
+def ref_ns():
+    bbox_tf = _load_ref("object_detection/utils/bbox_tf.py")
+    bbox_transform = _load_ref("object_detection/utils/bbox_transform.py")
+    anchors = _load_ref("object_detection/utils/anchor_generator.py")
+    losses = _load_ref("object_detection/model/losses.py")
+    utils = {
+        "pairwise_iou": bbox_tf["pairwise_iou"],
+        "bboxes_clip_filter": bbox_tf["bboxes_clip_filter"],
+        "bboxes_clip_filter_tf": bbox_tf["bboxes_clip_filter"],
+        "bboxes_range_filter": bbox_tf["bboxes_range_filter"],
+        "decode_bbox_with_mean_and_std": bbox_transform[
+            "decode_bbox_with_mean_and_std"
+        ],
+        "encode_bbox_with_mean_and_std": bbox_transform[
+            "encode_bbox_with_mean_and_std"
+        ],
+    }
+    region_proposal = _load_ref(
+        "object_detection/model/region_proposal.py", inject=utils
+    )
+    anchor_target = _load_ref(
+        "object_detection/model/anchor_target.py", inject=utils
+    )
+    proposal_target = _load_ref(
+        "object_detection/model/proposal_target.py", inject=utils
+    )
+    prediction = _load_ref("object_detection/model/prediction.py", inject=utils)
+    roi_pooling = _load_ref("object_detection/model/roi_pooling.py")
+    base = _load_ref(
+        "object_detection/model/faster_rcnn/base_faster_rcnn_model.py",
+        src_replace={
+            # keras 3 rejects non-tensor entries in a functional-call input
+            # tuple; tensor-ify the python scalars (behavior-preserving)
+            "image_shape = preprocessed_image.get_shape().as_list()[1:3]":
+                "image_shape = tf.cast("
+                "tf.shape(preprocessed_image)[1:3], tf.float32)",
+            "(shared_features, rois, self._extractor_stride)":
+                "(shared_features, rois, "
+                "tf.constant(self._extractor_stride, tf.float32))",
+        },
+        inject={
+            "RegionProposal": region_proposal["RegionProposal"],
+            "AnchorTarget": anchor_target["AnchorTarget"],
+            "ProposalTarget": proposal_target["ProposalTarget"],
+            "RoiPoolingCropAndResize": roi_pooling["RoiPoolingCropAndResize"],
+            "smooth_l1_loss": losses["smooth_l1_loss"],
+            "cls_loss": losses["cls_loss"],
+            "generate_by_anchor_base_tf": anchors["generate_by_anchor_base_tf"],
+            "generate_anchor_base": anchors["generate_anchor_base"],
+            "post_ops_prediction": prediction["post_ops_prediction"],
+        },
+    )
+    vgg = _load_ref(
+        "object_detection/model/faster_rcnn/vgg16_faster_rcnn.py",
+        inject={"BaseFasterRcnn": base["BaseFasterRcnn"]},
+        src_replace={
+            # keras 3 rejects a positional `training` on Dropout.__call__;
+            # keyword-ifying it is behavior-preserving
+            "self._dropout1(x, training)": "self._dropout1(x, training=training)",
+            "self._dropout2(x, training)": "self._dropout2(x, training=training)",
+        },
+    )
+    # random init only — no imagenet download in this container
+    vgg["Vgg16Extractor"]._load_keras_weights = lambda self: None
+    vgg["Vgg16RoiHead"]._load_keras_weights = lambda self: None
+    return vgg
+
+
+@pytest.fixture(scope="module")
+def pair(ref_ns):
+    """(reference model, our detector, our params) with identical weights."""
+    import jax
+
+    from tf_eager_object_detection_tpu.config.config_factory import (
+        config_factory,
+    )
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+    from tf_eager_object_detection_tpu.ref_import.importers import (
+        apply_name_map,
+    )
+    from tf_eager_object_detection_tpu.ref_import.name_maps import (
+        vgg16_tf_faster_rcnn_map,
+    )
+
+    tf.random.set_seed(7)
+    ref = ref_ns["Vgg16FasterRcnn"]()
+    # build the lazily-built submodels once
+    img = _fixed_image()
+    ref.im_detect(tf.constant(img), 1.0)
+
+    # serialize the reference keras layers under tf-faster-rcnn ckpt names
+    # so the transfer exercises the real importer name map
+    tensors = {}
+
+    def put(prefix, layer):
+        k, b = layer.get_weights()
+        tensors[prefix + "weights"] = k
+        tensors[prefix + "biases"] = b
+
+    ext = ref._extractor
+    for block, n in ((1, 2), (2, 2), (3, 3), (4, 3), (5, 3)):
+        for i in range(1, n + 1):
+            name = f"block{block}_conv{i}"
+            put(f"vgg_16/conv{block}/conv{block}_{i}/", ext.get_layer(name))
+    put("vgg_16/rpn_conv/3x3/", ref._rpn_head._rpn_conv)
+    put("vgg_16/rpn_cls_score/", ref._rpn_head._rpn_score_conv)
+    put("vgg_16/rpn_bbox_pred/", ref._rpn_head._rpn_bbox_conv)
+    put("vgg_16/fc6/", ref._roi_head._fc1)
+    put("vgg_16/fc7/", ref._roi_head._fc2)
+    put("vgg_16/cls_score/", ref._roi_head._score_layer)
+    put("vgg_16/bbox_pred/", ref._roi_head._roi_bboxes_layer)
+
+    cfg = dict(config_factory("pascal", "faster_rcnn"))
+    cfg["tpu_image_buckets"] = [list(IMAGE_HW)]
+    det = model_factory("faster_rcnn", "vgg16", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    params = apply_name_map(params, tensors, vgg16_tf_faster_rcnn_map())
+    return ref, det, params
+
+
+def _fixed_image():
+    rng = np.random.RandomState(42)
+    # caffe-preprocessed value range (mean-subtracted BGR)
+    return rng.uniform(-110.0, 110.0, (1, *IMAGE_HW, 3)).astype(np.float32)
+
+
+def test_extractor_features_match(pair):
+    ref, det, params = pair
+    img = _fixed_image()
+    want = ref._extractor(tf.constant(img), training=False).numpy()
+    got = np.asarray(
+        det.extractor.apply({"params": params["extractor"]}, img)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_rpn_head_matches_on_identical_features(pair):
+    ref, det, params = pair
+    img = _fixed_image()
+    feats = ref._extractor(tf.constant(img), training=False).numpy()
+    ref_score, ref_bbox = ref._rpn_head(tf.constant(feats), training=False)
+    score_map, bbox_map = det.rpn_head.apply(
+        {"params": params["rpn_head"]}, feats
+    )
+    np.testing.assert_allclose(
+        np.asarray(score_map).reshape(-1, 2 * det.num_anchors),
+        ref_score.numpy(),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bbox_map).reshape(-1, 4),
+        ref_bbox.numpy(),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_im_detect_matches_reference(pair):
+    """Full pipeline: proposals + RoI pooling + RoI head, same rows."""
+    import jax.numpy as jnp
+
+    ref, det, params = pair
+    img = _fixed_image()
+    ref_softmax, ref_deltas, ref_rois = (
+        t.numpy() for t in ref.im_detect(tf.constant(img), 1.0)
+    )
+
+    hw = jnp.asarray(IMAGE_HW, jnp.int32)
+    softmax, deltas, rois, valid = det.im_detect(
+        params, jnp.asarray(img[0]), hw, 1.0
+    )
+    softmax, deltas, rois, valid = (
+        np.asarray(softmax),
+        np.asarray(deltas).reshape(softmax.shape[0], -1),
+        np.asarray(rois),
+        np.asarray(valid),
+    )
+    m = int(valid.sum())
+    # identical proposal count out of NMS
+    assert m == ref_rois.shape[0]
+    # valid rows lead (region_proposal compacts), in NMS selection order
+    np.testing.assert_allclose(rois[:m], ref_rois, rtol=1e-3, atol=5e-2)
+    np.testing.assert_allclose(softmax[:m], ref_softmax, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(deltas[:m], ref_deltas, rtol=1e-3, atol=1e-3)
+
+
+def test_roi_stage_on_reference_rois(pair):
+    """Drive OUR RoI pooling + head on the REFERENCE's proposals."""
+    import jax
+    import jax.numpy as jnp
+
+    from tf_eager_object_detection_tpu.ops.roi_align import (
+        roi_crop_faster_rcnn,
+    )
+
+    ref, det, params = pair
+    img = _fixed_image()
+    ref_softmax, ref_deltas, ref_rois = (
+        t.numpy() for t in ref.im_detect(tf.constant(img), 1.0)
+    )
+    feats = det.extractor.apply(
+        {"params": params["extractor"]}, jnp.asarray(img)
+    )[0]
+    roi_feats = roi_crop_faster_rcnn(
+        feats,
+        jnp.asarray(ref_rois),
+        det.stride,
+        det.cfg["roi_pooling_size"],
+        det.roi_max_pooling,
+    )
+    scores, deltas = det.roi_head.apply(
+        {"params": params["roi_head"]}, roi_feats, train=False
+    )
+    softmax = np.asarray(jax.nn.softmax(scores, axis=-1))
+    np.testing.assert_allclose(softmax, ref_softmax, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(deltas), ref_deltas, rtol=1e-3, atol=1e-3
+    )
