@@ -126,6 +126,22 @@ class FasterRCNNDetector:
             )
         return self._anchor_cache[key]
 
+    def _contract_order(self) -> str:
+        """RoIAlign einsum contraction order (see ops/roi_align.py).
+
+        Measured on-chip (BENCHLOG round 3): w_first is +6.3% at b8-bf16
+        (the copy-bound regime) but -17% at b1-f32, so 'auto' keys off the
+        compute dtype.
+        """
+        mode = self.cfg.get("tpu_roi_align_contract", "auto")
+        if mode == "auto":
+            return (
+                "w_first" if self.compute_dtype == jnp.bfloat16 else "h_first"
+            )
+        if mode not in ("h_first", "w_first"):
+            raise ValueError(f"unknown tpu_roi_align_contract {mode!r}")
+        return mode
+
     # ----------------------------------------------------------- shared path
     def _backbone_rpn(self, params, images):
         apply_extractor = lambda p, x: self.extractor.apply({"params": p}, x)
@@ -240,7 +256,7 @@ class FasterRCNNDetector:
             )
             roi_feats = roi_crop_faster_rcnn(
                 feat_i, pt.rois, self.stride, cfg["roi_pooling_size"],
-                self.roi_max_pooling,
+                self.roi_max_pooling, order=self._contract_order(),
             )
             counts = {
                 "num_proposals": jnp.sum(roi_valid.astype(jnp.float32)),
@@ -344,7 +360,7 @@ class FasterRCNNDetector:
         )
         roi_feats = roi_crop_faster_rcnn(
             feats, rois, self.stride, self.cfg["roi_pooling_size"],
-            self.roi_max_pooling,
+            self.roi_max_pooling, order=self._contract_order(),
         )
         roi_scores, roi_deltas = self.roi_head.apply(
             {"params": params["roi_head"]}, roi_feats, train=False

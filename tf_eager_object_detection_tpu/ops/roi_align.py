@@ -118,9 +118,10 @@ def _crop_gather(features: jnp.ndarray, boxes: jnp.ndarray, crop_size: int):
     return jnp.where(ok, out.astype(jnp.float32), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("crop_size",))
+@functools.partial(jax.jit, static_argnames=("crop_size", "order"))
 def crop_and_resize(
-    features: jnp.ndarray, boxes: jnp.ndarray, crop_size: int
+    features: jnp.ndarray, boxes: jnp.ndarray, crop_size: int,
+    order: str = "h_first",
 ) -> jnp.ndarray:
     """TF-semantics crop_and_resize from a single feature map.
 
@@ -128,6 +129,15 @@ def crop_and_resize(
       features: [H, W, C].
       boxes: [N, 4] normalized (y1, x1, y2, x2), TF box order.
       crop_size: static output resolution S.
+      order: 'h_first' contracts H first (intermediate keeps W);
+        'w_first' contracts W first (intermediate keeps H). Same math,
+        different float-summation order and very different XLA layouts:
+        at the Faster R-CNN C4 shapes ([38, 63, 1024] map, 128 rois,
+        crop 14) the h_first [N, S, W, C] intermediate is 1.85 GB/step at
+        b8-bf16 and its layout copies cost ~6 ms/step; w_first keeps the
+        smaller H axis and measured +6.3%% there — but at b1-f32 w_first
+        REGRESSES 17%%, so the caller picks per compute dtype (BENCHLOG
+        round 3 'contraction order' entry).
 
     Returns: [N, S, S, C] float32.
 
@@ -140,13 +150,7 @@ def crop_and_resize(
     n = boxes.shape[0]
     wy = _interp_weights(boxes[:, 0], boxes[:, 2], h, crop_size)  # [N, S, H]
     wx = _interp_weights(boxes[:, 1], boxes[:, 3], w, crop_size)  # [N, S, W]
-    # Separable interpolation = two matmuls; the intermediate keeps one
-    # spatial axis at full resolution, so contract the LARGER axis first and
-    # keep the smaller one: at the Faster R-CNN C4 shapes ([38, 63, 1024]
-    # map, 128 rois, crop 14) the [N, S, W, C] intermediate is 1.85 GB/step
-    # of HBM traffic at b8-bf16 and its XLA layout copies alone cost
-    # ~6 ms/step (BENCHLOG round 3); keeping H instead cuts it by W/H.
-    if w > h:
+    if order == "w_first" and w > h:
         featT = jnp.swapaxes(features, 0, 1).reshape(w, h * c)  # [W, H*C]
         cols = jnp.einsum(
             "ntw,wk->ntk", wx, featT, preferred_element_type=jnp.float32
@@ -183,6 +187,7 @@ def roi_crop_faster_rcnn(
     extractor_stride: int,
     pool_size: int,
     max_pooling: bool,
+    order: str = "h_first",
 ) -> jnp.ndarray:
     """Faster R-CNN RoI pooling (`RoiPoolingCropAndResize`, roi_pooling.py:45-90).
 
@@ -201,9 +206,9 @@ def roi_crop_faster_rcnn(
         axis=1,
     )
     if max_pooling:
-        crops = crop_and_resize(features, boxes, pool_size * 2)
+        crops = crop_and_resize(features, boxes, pool_size * 2, order=order)
         return max_pool_2x2_same(crops)
-    return crop_and_resize(features, boxes, pool_size)
+    return crop_and_resize(features, boxes, pool_size, order=order)
 
 
 def roi_align_fpcoor(
