@@ -35,6 +35,16 @@ from test_reference_oracle import _load_ref  # noqa: E402
 IMAGE_HW = (224, 320)  # multiple of the stride; equals the bucket -> no padding
 
 
+def _seed_all(seed):
+    """Deterministic reference-model init regardless of test order: keras 3
+    initializers draw from keras's own RNG, which tf.random.set_seed does
+    NOT reset."""
+    import keras
+
+    keras.utils.set_random_seed(seed)
+    tf.random.set_seed(seed)
+
+
 @pytest.fixture(scope="module")
 def ref_ns():
     bbox_tf = _load_ref("object_detection/utils/bbox_tf.py")
@@ -101,7 +111,9 @@ def ref_ns():
     # random init only — no imagenet download in this container
     vgg["Vgg16Extractor"]._load_keras_weights = lambda self: None
     vgg["Vgg16RoiHead"]._load_keras_weights = lambda self: None
-    vgg["__base_ns__"] = base  # reused by the resnet fixture
+    vgg["__base_ns__"] = base  # reused by the resnet/fpn fixtures
+    vgg["__anchors_ns__"] = anchors
+    vgg["__roi_pooling_ns__"] = roi_pooling
     return vgg
 
 
@@ -121,7 +133,7 @@ def pair(ref_ns):
         vgg16_tf_faster_rcnn_map,
     )
 
-    tf.random.set_seed(7)
+    _seed_all(7)
     ref = ref_ns["Vgg16FasterRcnn"]()
     # build the lazily-built submodels once
     img = _fixed_image()
@@ -229,7 +241,7 @@ def resnet_pair(ref_ns):
         inject={"BaseFasterRcnn": base_ns["BaseFasterRcnn"]},
     )
     resnet["WEIGHTS_HASHES"] = {}  # no pretrained download (zero egress)
-    tf.random.set_seed(11)
+    _seed_all(11)
     # the reference factory passes resnet_roi_pooling_max_pooling_flag=False
     # from its config (model_factory.py:117, config/faster_rcnn_config.py:10)
     # — the CLASS default True is never used
@@ -314,6 +326,176 @@ def test_resnet_im_detect_matches_reference(resnet_pair):
 def _canonical(rois):
     key = np.round(rois, 2)
     return np.lexsort((key[:, 3], key[:, 2], key[:, 1], key[:, 0]))
+
+
+# ------------------------------------------------------------------- FPN
+
+
+FPN_IMAGE_HW = (256, 320)  # multiple of the p6 stride (64) -> no padding
+
+
+@pytest.fixture(scope="module")
+def fpn_pair(ref_ns):
+    """Reference ResnetV1Fpn + our FPNDetector with identical weights.
+
+    Covers the whole FPN-specific surface against the reference's
+    executing code: the c2-c5 extractor split, the 0.5/0.5 neck fusion
+    with TF1 resize_bilinear, the p6 subsample, `make_anchors` per level
+    (the r3-fixed w/h order), the single NMS over concatenated levels,
+    the log2 level assignment, per-level crop_and_resize at image-shape
+    normalization, and the 1024-wide fc RoI head
+    (base_fpn_model.py:202-434, resnet_fpn.py:292-560).
+    """
+    import copy as _copy
+
+    import jax
+
+    from tf_eager_object_detection_tpu.config.config_factory import (
+        config_factory,
+    )
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+
+    base_ns = ref_ns["__base_ns__"]
+    fpn_base = _load_ref(
+        "object_detection/model/fpn/base_fpn_model.py",
+        src_replace={
+            # keras 3: tensor-ify the python scalars in keras-call tuples
+            "image_shape = preprocessed_img.get_shape().as_list()[1:3]":
+                "image_shape = tf.cast("
+                "tf.shape(preprocessed_img)[1:3], tf.float32)",
+        },
+        inject={
+            "RegionProposal": base_ns["RegionProposal"],
+            "AnchorTarget": base_ns["AnchorTarget"],
+            "ProposalTarget": base_ns["ProposalTarget"],
+            "RoiPoolingCropAndResize": base_ns["RoiPoolingCropAndResize"],
+            "RoiPoolingCropAndResize2": ref_ns["__roi_pooling_ns__"][
+                "RoiPoolingCropAndResize2"
+            ],
+            "smooth_l1_loss": base_ns["smooth_l1_loss"],
+            "cls_loss": base_ns["cls_loss"],
+            "generate_by_anchor_base_tf": base_ns["generate_by_anchor_base_tf"],
+            "generate_anchor_base": base_ns["generate_anchor_base"],
+            "make_anchors": ref_ns["__anchors_ns__"]["make_anchors"],
+            "post_ops_prediction": base_ns["post_ops_prediction"],
+        },
+    )
+    fpn = _load_ref(
+        "object_detection/model/fpn/resnet_fpn.py",
+        inject={"BaseFPN": fpn_base["BaseFPN"]},
+    )
+    fpn["WEIGHTS_HASHES"] = {}  # no pretrained download (zero egress)
+    _seed_all(23)
+    ref = fpn["ResnetV1Fpn"](depth=50)
+    _randomize_batchnorms(ref._extractor, 5)
+    img = _fpn_image()
+    ref.im_detect(tf.constant(img), 1.0)  # build lazy submodels
+    # Condition the random-init fixture (see resnet_pair), adaptively and
+    # identically in both models (the transfer below copies the rescaled
+    # weights). Two knobs:
+    # 1. The randomized-BN extractor makes the pyramid O(1e4); at that
+    #    magnitude the 12.5k-term fc sums carry ~0.1 absolute float noise,
+    #    which shows up as softmax diffs of 1e-2 — pure conditioning, not
+    #    semantics. The neck is linear in its input convs, so scaling
+    #    build_p5 + the lateral reduce_dims convs scales every level
+    #    uniformly to O(10).
+    p_all = ref._neck(
+        ref._extractor(tf.constant(img), training=False), training=False
+    )
+    f = 10.0 / max(float(np.abs(p.numpy()).max()) for p in p_all)
+    for lyr in (
+        ref._neck._build_p5_conv,
+        ref._neck._build_p4_reduce_dims,
+        ref._neck._build_p3_reduce_dims,
+        ref._neck._build_p2_reduce_dims,
+    ):
+        lyr.set_weights([w * f for w in lyr.get_weights()])
+    # 2. Rescale the RPN convs so deltas are O(0.2) — beyond exp() range
+    #    every box degenerates and the clamp-vs-no-clamp deviation changes
+    #    proposal COUNTS — and logits O(4) (saturated softmax = exact-tie
+    #    NMS chaos).
+    p0 = ref._neck(
+        ref._extractor(tf.constant(img), training=False), training=False
+    )[0]
+    s0, b0 = ref._rpn_head(p0)
+    for conv, out, target in (
+        (ref._rpn_head._rpn_score_conv, s0, 4.0),
+        (ref._rpn_head._rpn_bbox_conv, b0, 0.2),
+    ):
+        f = target / max(1e-6, float(np.abs(out.numpy()).max()))
+        k, b = conv.get_weights()
+        conv.set_weights([k * f, b])
+
+    cfg = dict(config_factory("pascal", "fpn"))
+    cfg["tpu_image_buckets"] = [list(FPN_IMAGE_HW)]
+    det = model_factory("fpn", "resnet50", cfg)
+    params = _copy.deepcopy(det.init_params(jax.random.PRNGKey(0)))
+    _copy_keras_layers(params["extractor"], ref._extractor)
+    _copy_keras_layers(params["neck"], ref._neck)
+    _copy_keras_layers(params["rpn_head"], ref._rpn_head)
+    _copy_keras_layers(params["roi_head"], ref._roi_head)
+    return ref, det, params
+
+
+def _fpn_image():
+    rng = np.random.RandomState(77)
+    return rng.uniform(-110.0, 110.0, (1, *FPN_IMAGE_HW, 3)).astype(np.float32)
+
+
+def test_fpn_pyramid_features_match(fpn_pair):
+    ref, det, params = fpn_pair
+    img = _fpn_image()
+    c_ref = [t.numpy() for t in ref._extractor(tf.constant(img), training=False)]
+    p_ref = [t.numpy() for t in ref._neck(c_ref, training=False)]
+    import jax.numpy as jnp
+
+    c_our = det.extractor.apply({"params": params["extractor"]}, img)
+    p_our = det.neck.apply({"params": params["neck"]}, c_our)
+    assert len(p_our) == len(p_ref) == 5
+    for lvl, (a, b) in enumerate(zip(p_our, p_ref)):
+        a = np.asarray(a)
+        assert a.shape == b.shape, (lvl, a.shape, b.shape)
+        # the randomized-BN extractor amplifies activations to O(1e5), so
+        # absolute tolerance must scale with the feature magnitude
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=1e-4 * max(1.0, float(np.abs(b).max())),
+            err_msg=f"p{lvl + 2}",
+        )
+
+
+def test_fpn_im_detect_matches_reference(fpn_pair):
+    import jax.numpy as jnp
+
+    ref, det, params = fpn_pair
+    img = _fpn_image()
+    ref_softmax, ref_deltas, ref_rois = (
+        t.numpy() for t in ref.im_detect(tf.constant(img), 1.0)
+    )
+    hw = jnp.asarray(FPN_IMAGE_HW, jnp.int32)
+    softmax, deltas, rois, valid = det.im_detect(
+        params, jnp.asarray(img[0]), hw, 1.0
+    )
+    softmax, deltas, rois, valid = (
+        np.asarray(softmax),
+        np.asarray(deltas).reshape(np.asarray(softmax).shape[0], -1),
+        np.asarray(rois),
+        np.asarray(valid),
+    )
+    m = int(valid.sum())
+    assert m == ref_rois.shape[0]
+    # the reference reorders outputs level-grouped (_assign_levels); ours
+    # keep NMS order — compare canonically ordered rows
+    a = _canonical(rois[:m])
+    b = _canonical(ref_rois)
+    np.testing.assert_allclose(rois[:m][a], ref_rois[b], rtol=1e-3, atol=0.1)
+    # O(1e4) randomized-BN crops -> fc logit noise -> softmax diffs of a
+    # few 1e-3 are pure float accumulation, not semantics
+    np.testing.assert_allclose(
+        softmax[:m][a], ref_softmax[b], rtol=5e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        deltas[:m][a], ref_deltas[b], rtol=5e-3, atol=5e-3
+    )
 
 
 def test_extractor_features_match(pair):
