@@ -142,7 +142,7 @@ def main():
          "--logs_dir", logs, "--epochs", "1",
          "--steps_per_epoch", str(args.steps),
          "--logging_every_n_steps", "50",
-         "--summary_every_n_steps", str(args.steps // 2),
+         "--summary_every_n_steps", str(max(1, args.steps // 2)),
          "--saving_every_n_steps", str(args.steps),
          "--learning_rate", str(args.lr), "--batch_size", "1"] + o_flags
     )

@@ -46,5 +46,15 @@ def apply_config_overrides(cfg, overrides):
         try:
             cfg[key] = json.loads(raw)
         except json.JSONDecodeError:
+            # the bare-string convenience (preprocessing_type=caffe) must
+            # not swallow MALFORMED structured values — a truncated
+            # '[[256,256]' stored as a string fails far downstream with an
+            # unrelated-looking shape error
+            if raw[:1] in "[{\"'0123456789-" or raw == "":
+                raise ValueError(
+                    f"config override {key}={raw!r} is not valid JSON "
+                    "(quote bare strings only; lists/dicts/numbers must "
+                    "parse)"
+                )
             cfg[key] = raw
     return cfg

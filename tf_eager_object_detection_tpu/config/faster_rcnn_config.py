@@ -76,8 +76,9 @@ def get_default_pascal_faster_rcnn_config():
         "tpu_max_gt_boxes": 100,
         "tpu_train_batch_size_per_device": 1,
         "tpu_compute_dtype": "float32",  # or "bfloat16" (MXU-native, ~2x conv throughput)
-        # RoIAlign einsum contraction order: 'auto' (h_first for f32,
-        # w_first for bf16 — measured, BENCHLOG round 3), 'h_first', 'w_first'
+        # RoIAlign einsum contraction order: 'auto' (h_first for f32;
+        # large_first for bf16 — measured, BENCHLOG round 3), or an
+        # explicit 'h_first' / 'w_first' / 'large_first'
         "tpu_roi_align_contract": "auto",
     }
 

@@ -135,10 +135,14 @@ class FasterRCNNDetector:
         """
         mode = self.cfg.get("tpu_roi_align_contract", "auto")
         if mode == "auto":
+            # 'large_first' resolves per feature-map shape, so it does the
+            # right thing for both landscape and portrait buckets
             return (
-                "w_first" if self.compute_dtype == jnp.bfloat16 else "h_first"
+                "large_first"
+                if self.compute_dtype == jnp.bfloat16
+                else "h_first"
             )
-        if mode not in ("h_first", "w_first"):
+        if mode not in ("h_first", "w_first", "large_first"):
             raise ValueError(f"unknown tpu_roi_align_contract {mode!r}")
         return mode
 
@@ -413,7 +417,15 @@ class FasterRCNNDetector:
         (or shard over images on the host).
         """
         tracer_t = getattr(jax.core, "Tracer", None)
-        if tracer_t is not None and isinstance(images, tracer_t):
+        is_tracer = (
+            isinstance(images, tracer_t)
+            if tracer_t is not None
+            # version-proof fallback: duck-type on the MRO so the warning
+            # (and with it the b8-bf16 crash diagnostic) survives a jax
+            # release that drops the jax.core.Tracer re-export
+            else any(c.__name__ == "Tracer" for c in type(images).__mro__)
+        )
+        if is_tracer:
             import warnings
 
             warnings.warn(

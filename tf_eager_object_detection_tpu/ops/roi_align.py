@@ -130,14 +130,16 @@ def crop_and_resize(
       boxes: [N, 4] normalized (y1, x1, y2, x2), TF box order.
       crop_size: static output resolution S.
       order: 'h_first' contracts H first (intermediate keeps W);
-        'w_first' contracts W first (intermediate keeps H). Same math,
-        different float-summation order and very different XLA layouts:
-        at the Faster R-CNN C4 shapes ([38, 63, 1024] map, 128 rois,
-        crop 14) the h_first [N, S, W, C] intermediate is 1.85 GB/step at
-        b8-bf16 and its layout copies cost ~6 ms/step; w_first keeps the
-        smaller H axis and measured +6.3%% there — but at b1-f32 w_first
-        REGRESSES 17%%, so the caller picks per compute dtype (BENCHLOG
-        round 3 'contraction order' entry).
+        'w_first' contracts W first (intermediate keeps H);
+        'large_first' contracts whichever spatial axis is larger, so the
+        intermediate keeps the smaller one (shape-resolved here, per
+        map). Same math, different float-summation order and very
+        different XLA layouts: at the Faster R-CNN C4 shapes
+        ([38, 63, 1024] map, 128 rois, crop 14) the h_first [N, S, W, C]
+        intermediate is 1.85 GB/step at b8-bf16 and its layout copies
+        cost ~6 ms/step; keeping the smaller axis measured +6.3%% there —
+        but at b1-f32 it REGRESSES 17%%, so the caller picks per compute
+        dtype (BENCHLOG round 3 'contraction order' entry).
 
     Returns: [N, S, S, C] float32.
 
@@ -150,7 +152,11 @@ def crop_and_resize(
     n = boxes.shape[0]
     wy = _interp_weights(boxes[:, 0], boxes[:, 2], h, crop_size)  # [N, S, H]
     wx = _interp_weights(boxes[:, 1], boxes[:, 3], w, crop_size)  # [N, S, W]
-    if order == "w_first" and w > h:
+    if order not in ("h_first", "w_first", "large_first"):
+        raise ValueError(f"unknown contraction order {order!r}")
+    if order == "large_first":
+        order = "w_first" if w > h else "h_first"
+    if order == "w_first":
         featT = jnp.swapaxes(features, 0, 1).reshape(w, h * c)  # [W, H*C]
         cols = jnp.einsum(
             "ntw,wk->ntk", wx, featT, preferred_element_type=jnp.float32

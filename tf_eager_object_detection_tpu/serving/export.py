@@ -64,10 +64,17 @@ def export_predict(
     An explicit 'pallas'/'einsum' setting is always honored.
     """
     os.makedirs(out_dir, exist_ok=True)
-    resolved_impl = None
     if platforms and detector.cfg.get("tpu_roi_align_impl") == "auto":
         resolved_impl = (
             "pallas" if set(platforms) == {"tpu"} else "einsum"
+        )
+        # A FRESH detector, not a cfg mutation on the caller's: predict is
+        # jitted with `self` static, so a mutated cfg would be defeated by
+        # (and would pollute) any already-populated trace cache on the
+        # caller's detector.
+        detector = type(detector)(
+            detector.backbone,
+            {**detector.cfg, "tpu_roi_align_impl": resolved_impl},
         )
     params = jax.tree_util.tree_map(jnp.asarray, params)
     buckets = [tuple(b) for b in detector.cfg["tpu_image_buckets"]]
@@ -101,22 +108,15 @@ def export_predict(
 
         save_params(os.path.join(out_dir, "params.npz"), jax.device_get(params))
 
-    prev_impl = detector.cfg.get("tpu_roi_align_impl")
-    if resolved_impl is not None:
-        detector.cfg["tpu_roi_align_impl"] = resolved_impl
-    try:
-        for h, w in buckets:
-            exp = jax.export.export(
-                jax.jit(fn),
-                platforms=list(platforms) if platforms else None,
-            )(*args_for(h, w))
-            with open(
-                os.path.join(out_dir, f"predict_{h}x{w}.stablehlo"), "wb"
-            ) as f:
-                f.write(exp.serialize())
-    finally:
-        if resolved_impl is not None:
-            detector.cfg["tpu_roi_align_impl"] = prev_impl
+    for h, w in buckets:
+        exp = jax.export.export(
+            jax.jit(fn),
+            platforms=list(platforms) if platforms else None,
+        )(*args_for(h, w))
+        with open(
+            os.path.join(out_dir, f"predict_{h}x{w}.stablehlo"), "wb"
+        ) as f:
+            f.write(exp.serialize())
     meta = {
         "format_version": _FORMAT_VERSION,
         "model_type": detector.model_type,

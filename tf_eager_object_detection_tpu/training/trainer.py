@@ -266,8 +266,16 @@ class Trainer:
 
             img = jnp.asarray(batch["images"][0])
             hw = jnp.asarray(batch["image_hw"][0])
+            params = self.state.params
+            if self.multihost:
+                # predict runs on THIS process only, but multihost params
+                # are global (non-fully-addressable) arrays; DP replicates
+                # them, so the local shard is a complete copy.
+                params = jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x.addressable_data(0)), params
+                )
             # detector.predict is already jit-compiled at class level
-            det = self.det.predict(self.state.params, img, hw)
+            det = self.det.predict(params, img, hw)
             thr = self.det.cfg.get("show_image_score_threshold", 0.3)
             keep = np.asarray(det.valid) & (np.asarray(det.scores) >= thr)
             if not keep.any():
