@@ -41,6 +41,7 @@ def main():
         "BENCH_WINDOW_DTYPE", cfg.get("tpu_roi_align_window_dtype", "float32")
     )
     cfg["tpu_roi_align_window"] = int(os.environ.get("BENCH_WINDOW", "64"))
+    cfg["tpu_roi_align_contract"] = os.environ.get("BENCH_CONTRACT", "auto")
     cfg["tpu_roi_align_fused_levels"] = (
         os.environ.get("BENCH_FUSED_LEVELS", "1") != "0"
     )
@@ -48,7 +49,15 @@ def main():
     b = int(os.environ.get("BENCH_BATCH", "1"))
     cfg["tpu_train_batch_size_per_device"] = b
     backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
-    det = model_factory("fpn", backbone, cfg)
+    model_type = os.environ.get("BENCH_MODEL", "fpn")
+    if model_type != "fpn":
+        cfg = dict(config_factory("pascal", model_type))
+        cfg["tpu_compute_dtype"] = os.environ.get(
+            "BENCH_DTYPE", cfg["tpu_compute_dtype"]
+        )
+        cfg["tpu_roi_align_contract"] = os.environ.get("BENCH_CONTRACT", "auto")
+        cfg["tpu_train_batch_size_per_device"] = b
+    det = model_factory(model_type, backbone, cfg)
     params = det.init_params(jax.random.PRNGKey(0))
 
     if phase == "predict":
@@ -70,7 +79,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"fpn_{backbone}_im_detect_{impl}_" + cfg["tpu_roi_align_window_dtype"] + f"_b{b}",
+                    "metric": f"{model_type}_{backbone}_im_detect_{impl}_" + cfg["tpu_roi_align_window_dtype"] + f"_b{b}",
                     "ms_per_step": round(dt / n_steps * 1e3, 2),
                     "images_per_sec": round(n_steps * b / dt, 2),
                 }
@@ -124,7 +133,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"fpn_{backbone}_train_step_{impl}",
+                "metric": f"{model_type}_{backbone}_train_step_{impl}",
                 "ms_per_step": round(dt / n_steps * 1e3, 2),
                 "images_per_sec": round(n_steps * b / dt, 2),
                 "total_loss": round(float(metrics["total_loss"]), 4),

@@ -79,6 +79,9 @@ def get_default_pascal_fpn_config():
         # (every roi is assigned exactly one level, so the per-level kernels
         # spend 3/4 of their grid steps writing zero blocks + a 4-way sum)
         "tpu_roi_align_fused_levels": True,
+        # einsum RoIAlign contraction order; FPN 'auto' = large_first
+        # (wins both dtypes on-chip, see models/fpn.py::_contract_order)
+        "tpu_roi_align_contract": "auto",
     }
 
 

@@ -320,6 +320,24 @@ class FPNDetector:
     def _pallas_window(self) -> int:
         return int(self.cfg.get("tpu_roi_align_window", 64))
 
+    def _contract_order(self) -> str:
+        """Einsum RoIAlign contraction order (ops/roi_align.py).
+
+        FPN's 'auto' is large_first for BOTH compute dtypes — measured
+        on-chip (BENCHLOG round 3 "FPN contraction order"): b1 train
+        einsum f32 22.2 vs 20.5 img/s, bf16 23.3 vs 21.6. This differs
+        from Faster R-CNN's dtype-conditional rule (w_first loses f32
+        there): FPN contracts at pyramid-level shapes where keeping the
+        smaller spatial axis in the [N,S,ax,C] intermediate wins in
+        every measured regime.
+        """
+        mode = self.cfg.get("tpu_roi_align_contract", "auto")
+        if mode == "auto":
+            return "large_first"
+        if mode not in ("h_first", "w_first", "large_first"):
+            raise ValueError(f"unknown tpu_roi_align_contract {mode!r}")
+        return mode
+
     def _roi_features(self, p_list_i, rois, image_hw, training: bool = False):
         """Level-assigned RoIAlign via one-hot select over levels.
 
@@ -368,6 +386,7 @@ class FPNDetector:
                 p_list_i[i], rois, image_hw[0], image_hw[1],
                 self.cfg["roi_pooling_size"],
                 level_stride=self.strides[i],
+                order=self._contract_order(),
             )
             feats = feats + jnp.where(
                 (levels == lvl)[:, None, None, None], crop, 0.0

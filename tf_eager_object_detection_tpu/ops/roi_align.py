@@ -263,6 +263,7 @@ def roi_crop_fpn(
     image_width,
     pool_size: int,
     level_stride: int | None = None,
+    order: str = "h_first",
 ) -> jnp.ndarray:
     """FPN RoI pooling (`RoiPoolingCropAndResize2`, roi_pooling.py:8-42).
 
@@ -297,5 +298,5 @@ def roi_crop_fpn(
     boxes = jnp.stack(
         [r[:, 1] * fy, r[:, 0] * fx, r[:, 3] * fy, r[:, 2] * fx], axis=1
     )
-    crops = crop_and_resize(features, boxes, pool_size * 2)
+    crops = crop_and_resize(features, boxes, pool_size * 2, order=order)
     return max_pool_2x2_same(crops)
