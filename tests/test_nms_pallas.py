@@ -16,7 +16,12 @@ def _rand(rng, n, size=500.0):
     return np.stack([x1, y1, np.minimum(x1 + w, size), np.minimum(y1 + h, size)], 1).astype(np.float32)
 
 
-@pytest.mark.parametrize("n,max_out,thr", [(100, 40, 0.5), (300, 100, 0.7), (513, 513, 0.4)])
+@pytest.mark.parametrize(
+    "n,max_out,thr",
+    # 3000 crosses the 2048-lane tail-chunk boundary (exercises the
+    # chunked triangular tail's dynamic start + straddling first chunk)
+    [(100, 40, 0.5), (300, 100, 0.7), (513, 513, 0.4), (3000, 800, 0.6)],
+)
 def test_pallas_matches_xla(n, max_out, thr):
     rng = np.random.RandomState(n)
     boxes = _rand(rng, n)

@@ -299,10 +299,11 @@ class FPNDetector:
     def _use_pallas_roi_align(self, training: bool = False) -> bool:
         impl = self.cfg.get("tpu_roi_align_impl", "einsum")
         if impl == "auto":
-            # Measured (BENCHLOG.md round 2): the windowed kernel wins eval
-            # (predict b4: 72.4 vs 81.6 ms/step einsum) but loses training
-            # (55.0 vs 51.3 ms — the custom_vjp backward pays the einsum
-            # transpose either way), so 'auto' is phase-aware.
+            # Measured (BENCHLOG.md round 3 eval re-contest): the fused
+            # windowed kernel wins eval even vs large_first einsum
+            # (predict b4 f32: 63.0 vs 72.8 ms/step; b8 bf16: 93.6 vs
+            # 118.3) but loses training (the custom_vjp backward pays the
+            # einsum transpose either way), so 'auto' is phase-aware.
             return jax.default_backend() == "tpu" and not training
         return impl in ("pallas", "pallas_interpret")
 
