@@ -112,6 +112,7 @@ def test_pred_overlay_written(tmp_path):
     t = Trainer.__new__(Trainer)
     t.det = _Det()
     t.state = _State()
+    t.multihost = False
     t.writer = MetricWriter(d)
     batch = {
         "images": np.zeros((1, 16, 16, 3), np.float32),

@@ -1,0 +1,286 @@
+"""GRADIENT-level reference-as-oracle parity tests.
+
+The forward chain (utils -> components -> full models) is oracle-tested in
+test_reference_oracle{,_components,_model}.py. This module closes the
+TRAINING side: the reference's own executing code produces the ground
+truth for
+
+  1. RPN training losses (`BaseFasterRcnn.call(training=True)`,
+     base_faster_rcnn_model.py:126-165) on a fixture where target
+     subsampling is in the take-all regime (fg <= max_pos and
+     bg <= total - fg, anchor_target.py:72-84), so both frameworks select
+     the identical sample set and the comparison is deterministic;
+  2. backward: d(rpn_cls + rpn_reg)/d(weights) under tf.GradientTape vs
+     jax.grad through our fused fixed-shape pipeline, compared per layer
+     across the shared extractor + RPN head;
+  3. the keras kernel-L2 penalty (`tf.add_n(model.losses)`,
+     scripts/train.py:103) vs our decay formula;
+  4. the optimizer semantics: piecewise-constant LR boundary behavior +
+     momentum accumulator + the bias-gradient doubling
+     (scripts/train.py:22-50) — tf.compat.v1.train.MomentumOptimizer
+     applied to a toy problem vs our optax chain, step for step across an
+     LR boundary.
+
+The reference source is treated as data: executed, never followed.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_reference_oracle_model import (  # noqa: E402,F401
+    IMAGE_HW,
+    _fixed_image,
+    pair,
+    ref_ns,
+)
+
+# xyxy gt on the 224x320 fixture image: on this grid the inside-image
+# anchor set is 192 with fg=7, bg=49 under the default thresholds — both
+# under quota (128 / 256-7), so anchor_target takes ALL candidates in both
+# implementations (no RNG enters the comparison).
+GT_BOXES = np.array(
+    [[60.0, 50.0, 185.0, 175.0], [190.0, 40.0, 310.0, 160.0]], np.float32
+)
+GT_LABELS = np.array([3, 7], np.int32)
+
+
+def _our_rpn_loss_fn(det, params_template):
+    """f(params) -> (rpn_cls + rpn_reg, metrics) on the fixed fixture."""
+    import jax
+    import jax.numpy as jnp
+
+    img = jnp.asarray(_fixed_image())
+    hw = jnp.asarray([list(IMAGE_HW)], jnp.int32)
+    g = det.cfg["tpu_max_gt_boxes"]
+    gt = np.zeros((1, g, 4), np.float32)
+    gt[0, :2] = GT_BOXES
+    gt_mask = np.zeros((1, g), bool)
+    gt_mask[0, :2] = True
+    gt_labels = np.zeros((1, g), np.int32)
+    gt_labels[0, :2] = GT_LABELS
+
+    def f(p):
+        total, metrics = det.loss_fn(
+            p,
+            img,
+            hw,
+            jnp.asarray(gt),
+            jnp.asarray(gt_mask),
+            jnp.asarray(gt_labels),
+            jax.random.PRNGKey(0),
+        )
+        return metrics["rpn_cls_loss"] + metrics["rpn_reg_loss"], metrics
+
+    return f
+
+
+def _assert_take_all_regime(det, params):
+    """Guard: the fixture must keep anchor_target in the deterministic
+    take-all branch (anchor_target.py:72-84) or the comparison is noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from tf_eager_object_detection_tpu.ops.sampling import anchor_target
+
+    gh, gw = IMAGE_HW[0] // det.stride, IMAGE_HW[1] // det.stride
+    anchors = jnp.asarray(det.anchors_for_grid(gh, gw))
+    at = anchor_target(
+        anchors,
+        jnp.asarray(GT_BOXES),
+        jnp.asarray([True, True]),
+        IMAGE_HW[0],
+        IMAGE_HW[1],
+        jax.random.PRNGKey(0),
+        total_num_samples=det.cfg["rpn_total_sample_number"],
+        max_pos_samples=det.cfg["rpn_pos_sample_max_number"],
+    )
+    lab = np.asarray(at.labels)
+    fg, bg = int((lab == 1).sum()), int((lab == 0).sum())
+    assert 0 < fg <= det.cfg["rpn_pos_sample_max_number"], fg
+    assert 0 < bg <= det.cfg["rpn_total_sample_number"] - fg, (fg, bg)
+
+
+def _ref_rpn_losses_and_tape(ref):
+    img = tf.constant(_fixed_image())
+    with tf.GradientTape() as tape:
+        rpn_cls, rpn_reg, _roi_cls, _roi_reg = ref(
+            (img, tf.constant(GT_BOXES), tf.constant(GT_LABELS)),
+            training=True,
+        )
+        loss = rpn_cls + rpn_reg
+    return rpn_cls, rpn_reg, loss, tape
+
+
+def test_rpn_training_losses_match(pair):
+    ref, det, params = pair
+    _assert_take_all_regime(det, params)
+    rpn_cls, rpn_reg, _, _ = _ref_rpn_losses_and_tape(ref)
+    (_, metrics) = _our_rpn_loss_fn(det, params)(params)
+    np.testing.assert_allclose(
+        float(metrics["rpn_cls_loss"]), float(rpn_cls), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["rpn_reg_loss"]), float(rpn_reg), rtol=1e-4, atol=1e-5
+    )
+
+
+# (our param module+name, reference layer lookup) for every layer that is
+# trainable in the reference and reached by the RPN losses
+_GRAD_LAYERS = [
+    ("extractor", f"block{b}_conv{i}")
+    for b, n in ((3, 3), (4, 3), (5, 3))
+    for i in range(1, n + 1)
+] + [
+    ("rpn_head", "rpn_first_conv"),
+    ("rpn_head", "rpn_score_conv"),
+    ("rpn_head", "rpn_bbox_conv"),
+]
+
+
+def _ref_layer(ref, module, name):
+    if module == "extractor":
+        return ref._extractor.get_layer(name)
+    return {
+        "rpn_first_conv": ref._rpn_head._rpn_conv,
+        "rpn_score_conv": ref._rpn_head._rpn_score_conv,
+        "rpn_bbox_conv": ref._rpn_head._rpn_bbox_conv,
+    }[name]
+
+
+def test_rpn_gradients_match(pair):
+    """d(rpn_cls + rpn_reg)/dW parity, layer by layer, through 11 convs of
+    backward (extractor blocks 3-5 + the 3 RPN convs)."""
+    import jax
+
+    ref, det, params = pair
+    _assert_take_all_regime(det, params)
+
+    _, _, loss, tape = _ref_rpn_losses_and_tape(ref)
+    ref_vars = []
+    for module, name in _GRAD_LAYERS:
+        lyr = _ref_layer(ref, module, name)
+        ref_vars += [lyr.kernel, lyr.bias]
+    ref_grads = tape.gradient(loss, ref_vars)
+
+    f = _our_rpn_loss_fn(det, params)
+    our_grads = jax.grad(lambda p: f(p)[0])(params)
+
+    # f32 accumulation noise grows with backward depth (TF-CPU runs oneDNN
+    # with reordered reductions): measured relL2 is ~1e-6 at the RPN head
+    # and ~4e-4 by block3. Norm-based bounds separate that noise from any
+    # semantic mismatch (which produces O(1) relative error).
+    for li, (module, name) in enumerate(_GRAD_LAYERS):
+        for wi, wname in enumerate(("kernel", "bias")):
+            want = ref_grads[2 * li + wi].numpy()
+            got = np.asarray(our_grads[module][name][wname])
+            assert got.shape == want.shape, (module, name, wname)
+            denom = max(1e-12, float(np.linalg.norm(want)))
+            rel_l2 = float(np.linalg.norm(got - want)) / denom
+            scale = max(1e-12, float(np.abs(want).max()))
+            rel_linf = float(np.abs(got - want).max()) / scale
+            assert rel_l2 < 2e-3 and rel_linf < 5e-3, (
+                f"{module}/{name}/{wname}: relL2={rel_l2:.2e} "
+                f"relLinf={rel_linf:.2e}"
+            )
+
+
+def test_l2_regularization_matches_keras(pair):
+    """`tf.add_n(model.losses)` (scripts/train.py:103) vs wd * sum(w^2)
+    over the kernels selected by our weight_decay_mask — the reference
+    attaches keras.regularizers.l2(weight_decay) to every conv/dense
+    kernel (vgg16_faster_rcnn.py:188-204,269-341, base RpnHead:317-332).
+    keras 3 collects regularization losses from TRAINABLE weights only,
+    which coincides with our mask (frozen blocks 1-2 excluded); decaying
+    frozen weights would be a no-op on training either way."""
+    import jax
+
+    from tf_eager_object_detection_tpu.models.freeze import weight_decay_mask
+
+    ref, det, params = pair
+    # the model must have been called so keras has collected the losses
+    _ = _ref_rpn_losses_and_tape(ref)
+    want = float(tf.add_n(ref.losses))
+    wd = det.cfg["weight_decay"]
+    mask = weight_decay_mask(params, "vgg16")
+    got = wd * sum(
+        float(np.sum(np.square(np.asarray(w))))
+        for w, m in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(mask)
+        )
+        if m
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_momentum_piecewise_bias_double_oracle():
+    """Our optimizer chain vs tf.compat.v1.train.MomentumOptimizer with a
+    piecewise-constant LR and the reference's bias-gradient doubling
+    (scripts/train.py:22-50), stepped across an LR boundary.
+
+    The toy tree lives under a non-extractor top key so freeze masks are
+    all-True (nothing frozen), isolating decay + bias x2 + momentum + LR
+    schedule semantics.
+    """
+    import jax.numpy as jnp
+    import optax
+
+    from tf_eager_object_detection_tpu.training.optimizer import make_optimizer
+
+    rng = np.random.RandomState(0)
+    k0 = rng.randn(4, 3).astype(np.float32)
+    b0 = rng.randn(3).astype(np.float32)
+    grads_seq = [
+        (rng.randn(4, 3).astype(np.float32), rng.randn(3).astype(np.float32))
+        for _ in range(8)
+    ]
+    wd, momentum = 1e-4, 0.9
+    boundaries, values = [3, 6], [0.01, 0.001, 0.0005]
+
+    # ---- reference semantics under executing TF code ------------------
+    vk = tf.Variable(k0, name="toy/kernel")
+    vb = tf.Variable(b0, name="toy/bias")
+    gs = tf.Variable(0, dtype=tf.int64, trainable=False)
+    # under eager, v1 piecewise_constant returns a callable (a partial of
+    # PiecewiseConstantDecay over gs); the optimizer needs its VALUE per step
+    lr_schedule = tf.compat.v1.train.piecewise_constant(gs, boundaries, values)
+    opt = tf.compat.v1.train.MomentumOptimizer(
+        lambda: lr_schedule(), momentum=momentum
+    )
+    for gk, gb in grads_seq:
+        # keras l2(wd) contributes 2*wd*w to the tape gradient of kernels
+        # (biases carry no regularizer); then train_step doubles grads of
+        # vars with 'bias' in the name (scripts/train.py:29-36)
+        pairs = [
+            (tf.constant(gk) + 2.0 * wd * vk, vk),
+            (2.0 * tf.constant(gb), vb),
+        ]
+        opt.apply_gradients(pairs, global_step=gs)
+    want_k, want_b = vk.numpy(), vb.numpy()
+
+    # ---- ours ---------------------------------------------------------
+    cfg = {
+        "learning_rate_multi_lrs": values,
+        "learning_rate_multi_decay_steps": boundaries,
+        "learning_rate_bias_double": True,
+        "weight_decay": wd,
+        "optimizer_momentum": momentum,
+    }
+    params = {"head": {"toy": {"kernel": jnp.asarray(k0), "bias": jnp.asarray(b0)}}}
+    opt = make_optimizer(cfg, params, "vgg16")
+    state = opt.init(params)
+    for gk, gb in grads_seq:
+        g = {"head": {"toy": {"kernel": jnp.asarray(gk), "bias": jnp.asarray(gb)}}}
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["toy"]["kernel"]), want_k, rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["toy"]["bias"]), want_b, rtol=1e-5, atol=1e-7
+    )

@@ -85,6 +85,22 @@ def ref_ns():
             "(shared_features, rois, self._extractor_stride)":
                 "(shared_features, rois, "
                 "tf.constant(self._extractor_stride, tf.float32))",
+            # --- training branch of call() (base_faster_rcnn_model.py:
+            # 126-180), exercised by the gradient-oracle tests ---
+            "image_shape = image.get_shape().as_list()[1:3]":
+                "image_shape = tf.cast("
+                "tf.shape(image)[1:3], tf.float32)",
+            "(shared_features, final_rois, self._extractor_stride)":
+                "(shared_features, final_rois, "
+                "tf.constant(self._extractor_stride, tf.float32))",
+            # keras 3 rejects a positional `training`; the two distinct
+            # indentations pick out the anchor_target / proposal_target
+            # call sites uniquely
+            # (longer indent first: the shorter pattern is a substring)
+            "\n" + " " * 109 + "training)":
+                "\n" + " " * 109 + "training=training)",
+            "\n" + " " * 96 + "training)":
+                "\n" + " " * 96 + "training=training)",
         },
         inject={
             "RegionProposal": region_proposal["RegionProposal"],

@@ -27,7 +27,11 @@ __all__ = ["make_optimizer", "make_lr_schedule"]
 def make_lr_schedule(cfg: Dict[str, Any]):
     lrs = list(cfg["learning_rate_multi_lrs"])
     steps = list(cfg["learning_rate_multi_decay_steps"])
-    scales = {int(s): lrs[i + 1] / lrs[i] for i, s in enumerate(steps)}
+    # tf.train.piecewise_constant keeps values[i] while step <= boundary[i]
+    # (inclusive), so the switch lands on boundary+1; optax switches AT the
+    # given step. Shift by one to match the reference exactly (oracle-pinned
+    # in tests/test_reference_oracle_grad.py).
+    scales = {int(s) + 1: lrs[i + 1] / lrs[i] for i, s in enumerate(steps)}
     return optax.piecewise_constant_schedule(lrs[0], scales)
 
 
