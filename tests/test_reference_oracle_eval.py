@@ -1,0 +1,202 @@
+"""Reference-as-oracle tests for the EVALUATION protocol (SURVEY E2/E3).
+
+Executes the reference's own evaluation code on synthetic fixtures and
+asserts our ports produce identical numbers:
+
+- `detectron_pascal_evaluation_utils.voc_eval` (pure numpy + XML + det
+  files on disk) vs `evaluation/voc_eval.py::voc_eval` — the file API the
+  reference's published VOC numbers went through
+  (/root/reference/scripts/eval_pascal.py).
+- `pascal_voc_map_utils.eval_detection_voc` (chainercv-lineage, with the
+  reference's tensorpack pairwise_iou injected) vs our in-memory
+  `eval_detection_voc`. The reference's matcher has two quirks the
+  detectron one doesn't: an extra `bbox[:, 2:] += 1` BEFORE an IoU that
+  itself uses the +1 convention (pascal_voc_map_utils.py:190-195 — an
+  effective +2), and `iou >= thresh` matching (via `max < thresh -> -1`)
+  where detectron uses strict `>`.
+
+The reference source is treated as data: executed, never followed.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_reference_oracle import _load_ref  # noqa: E402
+
+CLASSES = ("aeroplane", "bicycle", "bird")
+
+
+def _synthetic_voc(rng, n_images=12):
+    """Per-image gt: list of (class_idx, bbox_int[4], difficult). Dets:
+    class_idx -> list of (image_idx, score, bbox_float[4]). Mix of jittered
+    true positives, duplicates, and random false positives; continuous
+    random scores (no ties)."""
+    gts, dets = [], {c: [] for c in range(len(CLASSES))}
+    for i in range(n_images):
+        objs = []
+        for _ in range(rng.randint(0, 5)):
+            c = rng.randint(len(CLASSES))
+            x1, y1 = rng.randint(0, 300, 2)
+            w, h = rng.randint(20, 150, 2)
+            bb = (int(x1), int(y1), int(x1 + w), int(y1 + h))
+            diff = bool(rng.rand() < 0.2)
+            objs.append((c, bb, diff))
+            # jittered detection(s) for ~80% of gt, sometimes duplicated
+            for _ in range(int(rng.rand() < 0.8) + int(rng.rand() < 0.2)):
+                jit = rng.uniform(-12, 12, 4)
+                db = np.asarray(bb, np.float64) + jit
+                dets[c].append((i, float(rng.rand()), db))
+        # marginal detections: horizontal shift s = w/3 gives IoU == 0.5
+        # exactly in the 0-convention; the +1 / +2 conventions land on
+        # opposite sides of the threshold, pinning the matcher's exact
+        # IoU formula and >= / > semantics
+        for c, (x1, y1, x2, y2), _ in objs:
+            if rng.rand() < 0.7:
+                w = x2 - x1
+                s = w / 3.0 + rng.uniform(-1.5, 1.5)
+                db = np.asarray([x1 + s, y1, x2 + s, y2], np.float64)
+                dets[c].append((i, float(rng.rand()), db))
+        gts.append(objs)
+        for _ in range(rng.randint(0, 3)):  # false positives
+            c = rng.randint(len(CLASSES))
+            x1, y1 = rng.uniform(0, 300, 2)
+            w, h = rng.uniform(10, 120, 2)
+            dets[c].append(
+                (i, float(rng.rand()), np.asarray([x1, y1, x1 + w, y1 + h]))
+            )
+    return gts, dets
+
+
+def _write_voc_tree(tmp_path, gts, dets):
+    ann = tmp_path / "Annotations"
+    ann.mkdir()
+    names = [f"img{i:03d}" for i in range(len(gts))]
+    for name, objs in zip(names, gts):
+        parts = [
+            "<annotation>"
+            f"<filename>{name}.jpg</filename>"
+            "<size><width>500</width><height>400</height><depth>3</depth></size>"
+        ]
+        for c, (x1, y1, x2, y2), diff in objs:
+            parts.append(
+                "<object>"
+                f"<name>{CLASSES[c]}</name><pose>Unspecified</pose>"
+                f"<truncated>0</truncated><difficult>{int(diff)}</difficult>"
+                f"<bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin>"
+                f"<xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox>"
+                "</object>"
+            )
+        parts.append("</annotation>")
+        (ann / f"{name}.xml").write_text("".join(parts))
+    (tmp_path / "imageset.txt").write_text("\n".join(names) + "\n")
+    det_dir = tmp_path / "dets"
+    det_dir.mkdir()
+    for c, rows in dets.items():
+        lines = [
+            f"{names[i]} {score:.6f} {b[0]:.2f} {b[1]:.2f} {b[2]:.2f} {b[3]:.2f}"
+            for i, score, b in rows
+        ]
+        (det_dir / f"comp3_det_test_{CLASSES[c]}.txt").write_text(
+            "\n".join(lines) + "\n"
+        )
+    return names, str(ann), str(det_dir)
+
+
+@pytest.mark.parametrize("use_07_metric", [True, False])
+def test_voc_eval_file_api_matches_reference(tmp_path, use_07_metric):
+    from tf_eager_object_detection_tpu.evaluation.voc_eval import voc_eval
+
+    ref = _load_ref(
+        "object_detection/evaluation/detectron_pascal_evaluation_utils.py",
+        src_replace={".astype(np.bool)": ".astype(bool)"},  # numpy>=1.24
+    )
+    rng = np.random.RandomState(3)
+    gts, dets = _synthetic_voc(rng)
+    _, ann_dir, det_dir = _write_voc_tree(tmp_path, gts, dets)
+    detpath = os.path.join(det_dir, "comp3_det_test_{:s}.txt")
+    annopath = os.path.join(ann_dir, "{:s}.xml")
+    imagesetfile = str(tmp_path / "imageset.txt")
+
+    for cls in CLASSES:
+        want_rec, want_prec, want_ap = ref["voc_eval"](
+            detpath, annopath, imagesetfile, cls,
+            str(tmp_path / "cache_ref"), ovthresh=0.5,
+            use_07_metric=use_07_metric,
+        )
+        got_rec, got_prec, got_ap = voc_eval(
+            detpath, annopath, imagesetfile, cls,
+            str(tmp_path / "cache_ours"), ovthresh=0.5,
+            use_07_metric=use_07_metric,
+        )
+        np.testing.assert_allclose(got_rec, want_rec, atol=1e-12, err_msg=cls)
+        np.testing.assert_allclose(
+            got_prec, want_prec, atol=1e-12, err_msg=cls
+        )
+        np.testing.assert_allclose(got_ap, want_ap, atol=1e-10, err_msg=cls)
+
+
+@pytest.fixture(scope="module")
+def ref_map_utils():
+    bbox_tf = _load_ref("object_detection/utils/bbox_tf.py")
+    return _load_ref(
+        "object_detection/evaluation/pascal_voc_map_utils.py",
+        inject={"pairwise_iou": bbox_tf["pairwise_iou"], "six": __import__("six")},
+    )
+
+
+@pytest.mark.parametrize("use_07_metric", [True, False])
+def test_eval_detection_voc_matches_reference(ref_map_utils, use_07_metric):
+    from tf_eager_object_detection_tpu.evaluation.voc_eval import (
+        eval_detection_voc,
+    )
+
+    rng = np.random.RandomState(4)
+    gts, dets = _synthetic_voc(rng, n_images=10)
+    n = len(gts)
+    gt_bboxes = [
+        np.asarray([bb for _, bb, _ in objs], np.float32).reshape(-1, 4)
+        for objs in gts
+    ]
+    gt_labels = [
+        np.asarray([c for c, _, _ in objs], np.int32) for objs in gts
+    ]
+    gt_difficults = [
+        np.asarray([d for _, _, d in objs], bool) for objs in gts
+    ]
+    pred_bboxes = [np.zeros((0, 4), np.float32) for _ in range(n)]
+    pred_labels = [np.zeros((0,), np.int32) for _ in range(n)]
+    pred_scores = [np.zeros((0,), np.float32) for _ in range(n)]
+    per_image = [[] for _ in range(n)]
+    for c, rows in dets.items():
+        for i, score, bb in rows:
+            per_image[i].append((c, score, bb))
+    for i, rows in enumerate(per_image):
+        if rows:
+            pred_labels[i] = np.asarray([c for c, _, _ in rows], np.int32)
+            pred_scores[i] = np.asarray([s for _, s, _ in rows], np.float32)
+            pred_bboxes[i] = np.asarray([b for _, _, b in rows], np.float32)
+
+    want = ref_map_utils["eval_detection_voc"](
+        pred_bboxes, pred_labels, pred_scores,
+        gt_bboxes, gt_labels, gt_difficults,
+        iou_thresh=0.5, use_07_metric=use_07_metric,
+    )
+    got = eval_detection_voc(
+        pred_bboxes, pred_labels, pred_scores,
+        gt_bboxes, gt_labels, gt_difficults,
+        iou_thresh=0.5, use_07_metric=use_07_metric,
+    )
+    want_ap = np.asarray(want["ap"], np.float64)
+    got_ap = np.asarray(got["ap"], np.float64)
+    # ours indexes ap by sorted class union; the reference by class id
+    assert list(got["classes"]) == list(range(len(want_ap)))
+    np.testing.assert_allclose(
+        got_ap, want_ap, atol=1e-10, equal_nan=True
+    )
+    np.testing.assert_allclose(got["map"], want["map"], atol=1e-10)

@@ -190,6 +190,134 @@ def test_rpn_gradients_match(pair):
             )
 
 
+_ROI_GRAD_LAYERS = [
+    ("extractor", f"block{b}_conv{i}")
+    for b, n in ((3, 3), (4, 3), (5, 3))
+    for i in range(1, n + 1)
+] + [
+    ("roi_head", "fc1"),
+    ("roi_head", "fc2"),
+    ("roi_head", "roi_head_score"),
+    ("roi_head", "roi_head_bboxes"),
+]
+
+
+def _ref_roi_layer(ref, module, name):
+    if module == "extractor":
+        return ref._extractor.get_layer(name)
+    return {
+        "fc1": ref._roi_head._fc1,
+        "fc2": ref._roi_head._fc2,
+        "roi_head_score": ref._roi_head._score_layer,
+        "roi_head_bboxes": ref._roi_head._roi_bboxes_layer,
+    }[name]
+
+
+def test_roi_branch_gradients_match(pair):
+    """d(roi_cls + roi_reg)/dW on FIXED rois + targets — oracle parity for
+    the RoIAlign (crop_and_resize) BACKWARD, the roi-head dense backward,
+    and the extractor backward through roi pooling, none of which the
+    forward-chain oracles cover. proposal_target's random subsampling is
+    bypassed (its forward is component-oracle-tested; tf.random_shuffle
+    cannot be matched cross-framework), so both sides consume identical
+    rois/labels/regression targets (base_faster_rcnn_model.py:166-178
+    with the sampler's outputs pinned). Dropout runs in eval mode on both
+    sides for determinism."""
+    import jax
+    import jax.numpy as jnp
+
+    from tf_eager_object_detection_tpu.ops.losses import (
+        cls_loss,
+        smooth_l1_loss,
+    )
+    from tf_eager_object_detection_tpu.ops.roi_align import (
+        roi_crop_faster_rcnn,
+    )
+
+    ref, det, params = pair
+    num_classes = det.num_classes
+    R = 64
+    rs = np.random.RandomState(11)
+    x1 = rs.uniform(0, 260, R)
+    y1 = rs.uniform(0, 170, R)
+    rois = np.stack(
+        [
+            x1,
+            y1,
+            np.minimum(x1 + rs.uniform(16, 120, R), IMAGE_HW[1] - 1.0),
+            np.minimum(y1 + rs.uniform(16, 120, R), IMAGE_HW[0] - 1.0),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    labels = rs.randint(0, num_classes, R).astype(np.int32)
+    tgt = np.zeros((R, num_classes, 4), np.float32)
+    inw = np.zeros((R, num_classes, 4), np.float32)
+    for i, lbl in enumerate(labels):
+        if lbl > 0:
+            tgt[i, lbl] = rs.randn(4)
+            inw[i, lbl] = 1.0
+    outw = inw / R
+    tgt, inw, outw = (a.reshape(R, -1) for a in (tgt, inw, outw))
+
+    # ---- reference, under tape --------------------------------------------
+    img = tf.constant(_fixed_image())
+    with tf.GradientTape() as tape:
+        shared = ref._extractor(img, training=False)
+        roi_features = ref._roi_pooling(
+            (shared, tf.constant(rois), tf.constant(float(det.stride))),
+            training=False,
+        )
+        roi_score, roi_deltas = ref._roi_head(roi_features, training=False)
+        rcl, rrl = ref._get_roi_loss(
+            roi_score, roi_deltas, tf.constant(labels), tf.constant(tgt),
+            tf.constant(inw), tf.constant(outw),
+        )
+        loss = rcl + rrl
+    ref_vars = []
+    for module, name in _ROI_GRAD_LAYERS:
+        lyr = _ref_roi_layer(ref, module, name)
+        ref_vars += [lyr.kernel, lyr.bias]
+    ref_grads = tape.gradient(loss, ref_vars)
+
+    # ---- ours, same fixed rois/targets ------------------------------------
+    def f(p):
+        feats = det.extractor.apply(
+            {"params": p["extractor"]}, jnp.asarray(_fixed_image())
+        )
+        roi_feats = roi_crop_faster_rcnn(
+            feats[0], jnp.asarray(rois), det.stride,
+            det.cfg["roi_pooling_size"], det.roi_max_pooling,
+            order=det._contract_order(),
+        )
+        scores, deltas = det.roi_head.apply(
+            {"params": p["roi_head"]}, roi_feats, train=False
+        )
+        out = cls_loss(scores, jnp.asarray(labels)) + smooth_l1_loss(
+            deltas, jnp.asarray(tgt), jnp.asarray(inw), jnp.asarray(outw),
+            sigma=det.cfg["roi_sigma"], dim=(1,),
+        )
+        return out, (scores, deltas)
+
+    (our_loss, _), our_grads = jax.value_and_grad(f, has_aux=True)(params)
+    np.testing.assert_allclose(
+        float(our_loss), float(loss), rtol=1e-4, atol=1e-5
+    )
+
+    for li, (module, name) in enumerate(_ROI_GRAD_LAYERS):
+        for wi, wname in enumerate(("kernel", "bias")):
+            want = ref_grads[2 * li + wi].numpy()
+            got = np.asarray(our_grads[module][name][wname])
+            assert got.shape == want.shape, (module, name, wname)
+            denom = max(1e-12, float(np.linalg.norm(want)))
+            rel_l2 = float(np.linalg.norm(got - want)) / denom
+            scale = max(1e-12, float(np.abs(want).max()))
+            rel_linf = float(np.abs(got - want).max()) / scale
+            assert rel_l2 < 2e-3 and rel_linf < 5e-3, (
+                f"{module}/{name}/{wname}: relL2={rel_l2:.2e} "
+                f"relLinf={rel_linf:.2e}"
+            )
+
+
 def test_l2_regularization_matches_keras(pair):
     """`tf.add_n(model.losses)` (scripts/train.py:103) vs wd * sum(w^2)
     over the kernels selected by our weight_decay_mask — the reference

@@ -1,17 +1,24 @@
 """Pascal VOC mAP evaluation (numpy).
 
-Covers both reference evaluators with one core matcher:
+Covers both reference evaluators, each oracle-pinned against the
+reference's own executing code (tests/test_reference_oracle_eval.py):
 - the Detectron-style file-based `voc_eval`
   (`object_detection/evaluation/detectron_pascal_evaluation_utils.py:86-222`):
-  per-class detection txt files + gt XMLs + pickle annotation cache,
+  per-class detection txt files + gt XMLs + pickle annotation cache.
+  Matching: global confidence order; each detection goes to its argmax-IoU
+  gt; IoU uses the +1 pixel convention; a match needs IoU > threshold
+  (strict); difficult gts are ignored (neither TP nor FP); duplicates FP.
 - the chainercv-style in-memory `eval_detection_voc`
-  (`object_detection/evaluation/pascal_voc_map_utils.py:11-80`).
+  (`object_detection/evaluation/pascal_voc_map_utils.py:11-80`). Two
+  deliberate quirks differ from Detectron and are reproduced exactly:
+  the reference shifts `bbox[:, 2:] += 1` BEFORE an IoU that itself uses
+  the +1 convention (pascal_voc_map_utils.py:190-195 — effectively +2),
+  and a match needs IoU >= threshold (`max < thresh -> unmatched`,
+  line 197-198). Detections matched to difficult gts occupy a curve
+  position with neither TP nor FP (match == -1), which can make leading
+  precision entries 0/0 = nan; AP nan_to_num's them like the reference.
 
-Matching semantics (both): detections sorted by confidence; greedy match to
-the best-IoU unmatched gt; IoU uses the +1 pixel convention; a match needs
-IoU > threshold; difficult gts are ignored (neither TP nor FP); duplicate
-matches are FPs. AP is 11-point interpolated (`use_07_metric`) or
-area-under-monotone-PR.
+AP is 11-point interpolated (`use_07_metric`) or area-under-monotone-PR.
 """
 
 from __future__ import annotations
@@ -166,14 +173,16 @@ def eval_detection_voc(
     iou_thresh: float = 0.5,
     use_07_metric: bool = False,
 ):
-    """In-memory variant (pascal_voc_map_utils.py:11-80 semantics).
+    """In-memory variant (pascal_voc_map_utils.py:11-80, exact semantics —
+    see module docstring for the two quirks vs the Detectron matcher).
 
     Per-image arrays; boxes are xyxy. Returns {'ap': [C], 'map': float} over
-    the union of gt/pred class labels.
+    the union of gt/pred class labels ('classes'; the reference indexes the
+    same values by raw class id).
     """
     n = len(pred_bboxes)
     if gt_difficults is None:
-        gt_difficults = [np.zeros(len(b), bool) for b in gt_bboxes]
+        gt_difficults = [np.zeros(len(np.asarray(b)), bool) for b in gt_bboxes]
     classes = set()
     for lbl in list(pred_labels) + list(gt_labels):
         classes.update(np.unique(np.asarray(lbl)).tolist())
@@ -181,30 +190,56 @@ def eval_detection_voc(
 
     aps = []
     for cls in classes:
-        det_ids, det_scores, det_boxes = [], [], []
-        gt_by_image = {}
+        n_pos = 0
+        scores: list = []
+        match: list = []
         for i in range(n):
             pm = np.asarray(pred_labels[i]) == cls
-            for b, s in zip(np.asarray(pred_bboxes[i])[pm], np.asarray(pred_scores[i])[pm]):
-                det_ids.append(i)
-                det_scores.append(float(s))
-                det_boxes.append(b)
+            boxes_i = np.asarray(pred_bboxes[i], np.float64)[pm]
+            scores_i = np.asarray(pred_scores[i], np.float64)[pm]
+            order = scores_i.argsort()[::-1]
+            boxes_i, scores_i = boxes_i[order], scores_i[order]
             gm = np.asarray(gt_labels[i]) == cls
-            gt_by_image[i] = {
-                "bbox": np.asarray(gt_bboxes[i])[gm].reshape(-1, 4),
-                "difficult": np.asarray(gt_difficults[i])[gm].astype(bool),
-            }
-        if not det_scores:
-            aps.append(0.0 if any(len(g["bbox"]) for g in gt_by_image.values()) else np.nan)
+            gts_i = np.asarray(gt_bboxes[i], np.float64).reshape(-1, 4)[gm]
+            diff_i = np.asarray(gt_difficults[i], bool)[gm]
+            n_pos += int((~diff_i).sum())
+            scores.extend(scores_i.tolist())
+            if len(boxes_i) == 0:
+                continue
+            if len(gts_i) == 0:
+                match.extend([0] * len(boxes_i))
+                continue
+            # the reference's double-+1: shift maxes, then +1-convention IoU
+            boxes_i = boxes_i.copy()
+            boxes_i[:, 2:] += 1
+            gts_i = gts_i.copy()
+            gts_i[:, 2:] += 1
+            selec = np.zeros(len(gts_i), bool)
+            for bb in boxes_i:
+                overlaps = _iou_one_to_many(bb, gts_i)
+                jmax = int(np.argmax(overlaps))
+                if overlaps[jmax] < iou_thresh:
+                    match.append(0)
+                    continue
+                if diff_i[jmax]:
+                    match.append(-1)
+                elif not selec[jmax]:
+                    match.append(1)
+                else:
+                    match.append(0)
+                selec[jmax] = True
+        # zero detections with gt present yields empty curves -> ap 0.0,
+        # matching the reference (only n_pos == 0 gives nan)
+        order = np.asarray(scores).argsort()[::-1]
+        match_arr = np.asarray(match, np.int8)[order]
+        tp = np.cumsum(match_arr == 1)
+        fp = np.cumsum(match_arr == 0)
+        with np.errstate(invalid="ignore"):
+            prec = tp / (fp + tp)  # 0/0 -> nan at leading ignored positions
+        if n_pos == 0:
+            aps.append(np.nan)
             continue
-        _, _, ap = voc_eval_class(
-            det_ids,
-            np.asarray(det_scores),
-            np.asarray(det_boxes),
-            gt_by_image,
-            iou_thresh,
-            use_07_metric,
-        )
-        aps.append(ap)
+        rec = tp / n_pos
+        aps.append(voc_ap(rec, np.nan_to_num(prec), use_07_metric))
     aps = np.asarray(aps)
     return {"ap": aps, "map": float(np.nanmean(aps)), "classes": classes}
