@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 from collections import defaultdict
-from typing import Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
@@ -198,6 +198,15 @@ class CocoBboxEval:
             ]
         )
         return self.stats
+
+    def per_category_ap(self, iou_index: int = 0) -> Dict[int, float]:
+        """AP per category id at IOU_THRS[iou_index] (default 0.50),
+        area=all, maxDets=100. -1.0 for categories with no gt."""
+        precision, _ = self._accumulate("all", 100)
+        return {
+            cat_id: self._mean(precision[iou_index][:, ki])
+            for ki, cat_id in enumerate(self.cat_ids)
+        }
 
     def summarize(self) -> str:
         if self.stats is None:
