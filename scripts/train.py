@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument("--summary_every_n_steps", type=int, default=100)
     p.add_argument("--saving_every_n_steps", type=int, default=5000)
     p.add_argument("--preprocessing_type", default="caffe", choices=["caffe", "tf"])
+    p.add_argument("--spatial_partition", type=int, default=1,
+                   help="shard each image's rows over this many devices "
+                        "(2-D batch x space mesh; remaining devices form the "
+                        "data-parallel axis). For high-resolution inputs or "
+                        "more chips than images; 1 = off")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch across all local devices")
     p.add_argument("--multihost", action="store_true",
@@ -104,6 +109,11 @@ def main():
     global_batch = cfg["tpu_train_batch_size_per_device"]
     if args.multihost:
         global_batch *= jax.device_count()
+    elif args.spatial_partition > 1:
+        # the mesh's batch axis is n_devices // spatial_partition
+        global_batch *= max(
+            1, len(jax.local_devices()) // args.spatial_partition
+        )
     elif args.data_parallel:
         global_batch *= len(jax.local_devices())
 
@@ -143,6 +153,7 @@ def main():
         data_parallel=args.data_parallel,
         backbone_weights=args.backbone_weights,
         multihost=args.multihost,
+        spatial_partition=args.spatial_partition,
     )
     epochs = args.epochs or cfg["epochs"]
     trainer.train(batches, epochs, args.steps_per_epoch)

@@ -45,9 +45,24 @@ def compute_scale(h: int, w: int, min_size: int, max_size: int) -> float:
     return min(min_size / min(h, w), max_size / max(h, w))
 
 
-def caffe_normalize(image_rgb: np.ndarray, bgr_means: Sequence[float]) -> np.ndarray:
+def caffe_normalize(
+    image_rgb: np.ndarray,
+    bgr_means: Sequence[float],
+    means_dtype=np.float32,
+) -> np.ndarray:
+    """RGB -> BGR minus pixel means, float32 out.
+
+    The reference subtracts the means at two different precisions: the train
+    path uses float32 TF constants (tf_dataset_utils.py:55-71) while the
+    mAP-bearing eval path does an in-place numpy subtract of a FLOAT64 means
+    array (eval_pascal_tf_dataset.py:46-47), whose ufunc loop runs in f64
+    before casting back — the results differ in the last f32 ulp.
+    `means_dtype` selects which convention to reproduce bit-exactly
+    (tests/test_reference_oracle_data.py pins both).
+    """
     img = image_rgb.astype(np.float32)[..., ::-1]  # RGB -> BGR
-    return img - np.asarray(bgr_means, np.float32)
+    out = img - np.asarray(bgr_means, means_dtype)
+    return out.astype(np.float32, copy=False)
 
 
 def tf_normalize(image_rgb: np.ndarray) -> np.ndarray:
@@ -188,7 +203,11 @@ def preprocess_eval_image(
         raise ValueError(f"unknown image format {image_format}")
     h, w = image_rgb.shape[:2]
     if preprocessing_type == "caffe":
-        img = caffe_normalize(image_rgb, cfg["bgr_pixel_means"])
+        # float64 means: bit-exact with the reference's numpy eval path
+        # (see caffe_normalize docstring)
+        img = caffe_normalize(
+            image_rgb, cfg["bgr_pixel_means"], means_dtype=np.float64
+        )
         native = "bgr"
     elif preprocessing_type == "tf":
         img = tf_normalize(image_rgb)

@@ -85,6 +85,7 @@ class Trainer:
         data_parallel: bool = False,
         backbone_weights: Optional[str] = None,
         multihost: bool = False,
+        spatial_partition: int = 1,
     ):
         """multihost=True runs data parallelism over a mesh spanning every
         process of an initialized `jax.distributed` runtime (call
@@ -97,6 +98,13 @@ class Trainer:
         self.det = detector
         cfg = detector.cfg
         self.multihost = multihost
+        self.spatial = int(spatial_partition) > 1
+        if self.spatial and multihost:
+            raise ValueError(
+                "spatial_partition with --multihost is not supported; spatial "
+                "partitioning targets the single-host more-chips-than-images "
+                "regime"
+            )
         self.params = detector.init_params(jax.random.PRNGKey(seed))
         if backbone_weights:
             # pretrained-backbone start (reference fresh-training UX,
@@ -128,6 +136,19 @@ class Trainer:
 
             self.mesh = make_global_mesh()
             self.step_fn = make_parallel_train_step(
+                detector, self.optimizer, self.mesh
+            )
+        elif self.spatial:
+            # 2-D ("batch", "space") mesh: each image's rows are sharded
+            # over `spatial_partition` devices, the rest of the devices form
+            # the data-parallel axis (parallel/spatial.py)
+            from tf_eager_object_detection_tpu.parallel.spatial import (
+                make_spatial_mesh,
+                make_spatial_train_step,
+            )
+
+            self.mesh = make_spatial_mesh(sp=int(spatial_partition))
+            self.step_fn = make_spatial_train_step(
                 detector, self.optimizer, self.mesh
             )
         elif data_parallel:
@@ -197,16 +218,24 @@ class Trainer:
                     jax.device_get(step_rng), self.mesh
                 )
             elif self.mesh is not None:
-                from tf_eager_object_detection_tpu.parallel.mesh import (
-                    replicate,
-                    shard_batch,
-                )
+                from tf_eager_object_detection_tpu.parallel.mesh import replicate
 
-                n_dev = self.mesh.devices.size
-                if batch_tuple[0].shape[0] % n_dev:
+                # batch divisibility is over the mesh's batch axis only (the
+                # DP mesh is 1-D so this equals the device count; the spatial
+                # mesh's "space" axis shards rows, not images)
+                n_dp = dict(self.mesh.shape)["batch"]
+                if batch_tuple[0].shape[0] % n_dp:
                     raise ValueError(
                         f"global batch {batch_tuple[0].shape[0]} not divisible "
-                        f"by mesh size {n_dev}"
+                        f"by mesh batch axis {n_dp}"
+                    )
+                if self.spatial:
+                    from tf_eager_object_detection_tpu.parallel.spatial import (
+                        shard_batch,
+                    )
+                else:
+                    from tf_eager_object_detection_tpu.parallel.mesh import (
+                        shard_batch,
                     )
                 batch_tuple = shard_batch(batch_tuple, self.mesh)
                 step_rng = replicate(step_rng, self.mesh)
