@@ -154,6 +154,52 @@ def test_spatial_step_compiles_halo_exchange():
     )
 
 
+@pytest.mark.slow
+def test_spatial_step_compiles_fpn():
+    """Model breadth: the spatial step is model-agnostic — the FPN detector
+    (multi-level pyramid, P2..P6) must also partition spatially. Compile-only
+    (no execute): asserts the halo exchange is present for the FPN program
+    on a 1x4 mesh."""
+    cfg = dict(config_factory("pascal", "fpn"))
+    cfg.update(
+        {
+            "rpn_proposal_train_pre_nms_sample_number": 256,
+            "rpn_proposal_train_after_nms_sample_number": 64,
+            "rpn_proposal_test_pre_nms_sample_number": 256,
+            "rpn_proposal_test_after_nms_sample_number": 32,
+            "roi_total_sample_number": 32,
+            "roi_pos_sample_max_number": 8,
+            "rpn_total_sample_number": 64,
+            "rpn_pos_sample_max_number": 32,
+            "max_objects_per_image": 10,
+            "max_objects_per_class_per_image": 10,
+            "tpu_image_buckets": [[128, 128]],
+            "tpu_max_gt_boxes": 4,
+        }
+    )
+    det = model_factory("fpn", "resnet50", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg, params, "resnet50")
+    mesh = make_spatial_mesh(dp=1, sp=4)
+    step = make_spatial_train_step(det, opt, mesh)
+
+    h = w = 128
+    images = jnp.zeros((1, h, w, 3), jnp.float32)
+    hw = jnp.asarray([[h, w]], jnp.int32)
+    g = cfg["tpu_max_gt_boxes"]
+    gt = jnp.zeros((1, g, 4), jnp.float32).at[0, 0].set(
+        jnp.asarray([8.0, 8.0, 80.0, 88.0])
+    )
+    mask = jnp.zeros((1, g), bool).at[0, 0].set(True)
+    labels = jnp.zeros((1, g), jnp.int32).at[0, 0].set(3)
+    batch = shard_batch((images, hw, gt, mask, labels), mesh)
+    state = replicate(
+        _fresh_state(det, opt, params), mesh
+    )
+    compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+    assert "collective-permute" in compiled.as_text()
+
+
 def test_spatial_predict_matches_per_image():
     cfg = _small_cfg()
     det = model_factory("faster_rcnn", "vgg16", cfg)
