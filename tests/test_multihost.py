@@ -108,7 +108,10 @@ def test_two_process_dp_matches_single_device(tmp_path):
         )
     logs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=1200)
+        # generous bound: two workers each compile a VGG train step on this
+        # 1-core box; under a concurrently-running full suite the old 1200s
+        # limit produced contention-timeout flakes
+        stdout, _ = p.communicate(timeout=3600)
         logs.append(stdout.decode(errors="replace"))
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"

@@ -122,7 +122,7 @@ def test_train_cli_multihost_matches_single_process(tmp_path):
     # oracle: one process, --data_parallel over 8 virtual devices
     single = subprocess.run(
         _train_cmd(tfrecords, str(tmp_path / "logs_single"), ["--data_parallel"]),
-        env=_env(8), cwd=_REPO_DIR, capture_output=True, text=True, timeout=1500,
+        env=_env(8), cwd=_REPO_DIR, capture_output=True, text=True, timeout=3600,
     )
     assert single.returncode == 0, single.stdout[-4000:] + single.stderr[-4000:]
     want = _losses(single.stdout)
@@ -145,7 +145,7 @@ def test_train_cli_multihost_matches_single_process(tmp_path):
         )
     logs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=1500)
+        stdout, _ = p.communicate(timeout=3600)
         logs.append(stdout.decode(errors="replace"))
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"rank failed:\n{log[-4000:]}"
