@@ -22,6 +22,10 @@ def main():
     p.add_argument("--data_type", default="pascal", choices=["pascal", "coco"])
     p.add_argument("--out", default=None, help="write box-overlay image here")
     p.add_argument("--score_threshold", type=float, default=0.3)
+    p.add_argument("--spatial_partition", type=int, default=1,
+                   help="shard the image's rows over this many devices "
+                        "(parallel/spatial.py) — latency path when devices "
+                        "outnumber in-flight images; 1 = off")
     p.add_argument("--config_override", action="append", default=[],
                    metavar="KEY=JSON",
                    help="override a single config key (JSON value; repeatable)")
@@ -43,8 +47,37 @@ def main():
     )
     det = model_factory(args.model_type, args.backbone, cfg)
     params, image_format = load_checkpoint_params(det, args.ckpt, args)
+
+    predict_fn = None
+    if args.spatial_partition > 1:
+        # one image sharded row-wise over sp devices (see docs/SERVING.md
+        # "More chips than requests"); outputs equal det.predict
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tf_eager_object_detection_tpu.parallel.spatial import (
+            make_spatial_mesh,
+            make_spatial_predict,
+        )
+
+        mesh = make_spatial_mesh(dp=1, sp=args.spatial_partition)
+        batched = make_spatial_predict(det, mesh)
+        params_repl = jax.device_put(params, NamedSharding(mesh, P()))
+
+        def predict_fn(_params, image, image_hw):
+            d = batched(
+                params_repl,
+                jax.device_put(
+                    image[None], NamedSharding(mesh, P("batch", "space"))
+                ),
+                jax.device_put(
+                    image_hw[None], NamedSharding(mesh, P("batch"))
+                ),
+            )
+            return jax.tree_util.tree_map(lambda x: x[0], d)
+
     boxes, labels, scores = det.test_one_image(
-        params, args.image, image_format=image_format
+        params, args.image, image_format=image_format, predict_fn=predict_fn
     )
     keep = scores >= args.score_threshold
     boxes, labels, scores = boxes[keep], labels[keep], scores[keep]

@@ -231,6 +231,67 @@ def test_spatial_predict_matches_per_image():
         )
 
 
+@pytest.mark.slow
+def test_infer_cli_spatial_matches_plain(tmp_path):
+    """scripts/infer.py --spatial_partition wiring: the row-sharded predict
+    prints the same detections as the unsharded run."""
+    import os
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    from tf_eager_object_detection_tpu.training.checkpoints import save_params
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = _small_cfg()
+    det = model_factory("faster_rcnn", "vgg16", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "params.npz")
+    save_params(ckpt, params)
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 60, (48, 48, 3), np.uint8)
+    img[8:40, 8:44] = [210, 40, 40]
+    image = str(tmp_path / "img.png")  # png: lossless, identical reload
+    Image.fromarray(img).save(image)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=8"]
+    )
+    overrides = []
+    for k, v in (
+        ("image_min_size", "48"),
+        ("image_max_size", "64"),
+        ("tpu_image_buckets", "[[64,64]]"),
+        ("rpn_proposal_test_pre_nms_sample_number", "256"),
+        ("rpn_proposal_test_after_nms_sample_number", "32"),
+    ):
+        overrides += ["--config_override", f"{k}={v}"]
+
+    def run(extra):
+        r = subprocess.run(
+            [sys.executable, "scripts/infer.py", ckpt, image,
+             "--model_type", "faster_rcnn", "--backbone", "vgg16",
+             "--score_threshold", "0.0", *overrides, *extra],
+            env=env, cwd=repo, capture_output=True, text=True, timeout=1800,
+        )
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+        return [ln for ln in r.stdout.splitlines() if "[" in ln]
+
+    plain = run([])
+    spatial = run(["--spatial_partition", "4"])
+    assert plain == spatial and plain, (plain, spatial)
+
+
 def test_trainer_spatial_partition(tmp_path):
     """--spatial_partition wiring: Trainer builds the 2-D mesh, shards the
     batch (images over space), and trains with finite losses."""

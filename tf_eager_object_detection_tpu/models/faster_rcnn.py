@@ -346,12 +346,14 @@ class FasterRCNNDetector:
         )
 
     def test_one_image(
-        self, params, img_path, preprocessing_type="caffe", image_format=None
+        self, params, img_path, preprocessing_type="caffe", image_format=None,
+        predict_fn=None,
     ):
         """Load + preprocess + predict one image file (debug API mirroring
         base_faster_rcnn_model.py:267-277). Host-side convenience."""
         return test_one_image_impl(
-            self, params, img_path, preprocessing_type, image_format
+            self, params, img_path, preprocessing_type, image_format,
+            predict_fn=predict_fn,
         )
 
     # --------------------------------------------------------------- predict
@@ -480,12 +482,17 @@ class FasterRCNNDetector:
 
 
 def test_one_image_impl(
-    detector, params, img_path, preprocessing_type="caffe", image_format=None
+    detector, params, img_path, preprocessing_type="caffe", image_format=None,
+    predict_fn=None,
 ):
     """Shared load + preprocess + predict for any detector with a jitted
     `predict(params, image, image_hw)` (reference
     base_faster_rcnn_model.py:267-277). Returns (boxes/scale, labels, scores)
-    for valid detections, on the raw image's coordinates."""
+    for valid detections, on the raw image's coordinates.
+
+    predict_fn: optional (params, image, image_hw) -> Detections override —
+    e.g. a spatially-partitioned predict (parallel/spatial.py) for
+    more-chips-than-images serving."""
     import numpy as np_
 
     from tf_eager_object_detection_tpu.data.preprocessing import (
@@ -503,7 +510,8 @@ def test_one_image_impl(
     padded, hw, scale, _, _ = preprocess_eval_image(
         img, detector.cfg, preprocessing_type, image_format=image_format
     )
-    det = detector.predict(params, jnp.asarray(padded), jnp.asarray(hw))
+    fn = detector.predict if predict_fn is None else predict_fn
+    det = fn(params, jnp.asarray(padded), jnp.asarray(hw))
     v = np_.asarray(det.valid)
     return (
         np_.asarray(det.boxes)[v] / scale,

@@ -677,7 +677,8 @@ class FPNDetector:
         )
 
     def test_one_image(
-        self, params, img_path, preprocessing_type="caffe", image_format=None
+        self, params, img_path, preprocessing_type="caffe", image_format=None,
+        predict_fn=None,
     ):
         """Load + preprocess + predict one image file (debug API; the
         faster_rcnn twin mirrors base_faster_rcnn_model.py:267-277)."""
@@ -686,7 +687,8 @@ class FPNDetector:
         )
 
         return test_one_image_impl(
-            self, params, img_path, preprocessing_type, image_format
+            self, params, img_path, preprocessing_type, image_format,
+            predict_fn=predict_fn,
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))
