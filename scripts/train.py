@@ -110,10 +110,15 @@ def main():
     if args.multihost:
         global_batch *= jax.device_count()
     elif args.spatial_partition > 1:
-        # the mesh's batch axis is n_devices // spatial_partition
-        global_batch *= max(
-            1, len(jax.local_devices()) // args.spatial_partition
-        )
+        # same device source as make_spatial_mesh: the mesh's batch axis is
+        # len(jax.devices()) // sp
+        dp = len(jax.devices()) // args.spatial_partition
+        if dp < 1:
+            raise SystemExit(
+                f"--spatial_partition {args.spatial_partition} needs at "
+                f"least that many devices, have {len(jax.devices())}"
+            )
+        global_batch *= dp
     elif args.data_parallel:
         global_batch *= len(jax.local_devices())
 

@@ -226,6 +226,10 @@ def test_spatial_predict_matches_per_image():
             np.asarray(got.boxes[i])[v], np.asarray(want[i].boxes)[v],
             rtol=1e-4, atol=1e-3,
         )
+        np.testing.assert_allclose(
+            np.asarray(got.scores[i])[v], np.asarray(want[i].scores)[v],
+            rtol=1e-4, atol=1e-5,
+        )
         np.testing.assert_array_equal(
             np.asarray(got.labels[i])[v], np.asarray(want[i].labels)[v]
         )

@@ -9,15 +9,13 @@ per-image, so DP changes nothing (all BNs are frozen).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import numpy as np
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tf_eager_object_detection_tpu.training.train_step import TrainState
+from tf_eager_object_detection_tpu.training.train_step import train_step_body
 
 __all__ = ["make_mesh", "make_parallel_train_step", "replicate", "shard_batch"]
 
@@ -48,31 +46,9 @@ def make_parallel_train_step(detector, optimizer, mesh: Mesh, axis_name: str = "
     repl = NamedSharding(mesh, P())
     bshard = NamedSharding(mesh, P(axis_name))
     batch_shardings = (bshard, bshard, bshard, bshard, bshard)
-
-    @functools.partial(
-        jax.jit,
+    return jax.jit(
+        train_step_body(detector, optimizer),
         in_shardings=(repl, batch_shardings, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
-    def train_step(state: TrainState, batch, rng):
-        from tf_eager_object_detection_tpu.models.freeze import (
-            stop_frozen_gradients,
-        )
-
-        images, image_hw, gt_boxes, gt_mask, gt_labels = batch
-
-        def loss(params):
-            params = stop_frozen_gradients(
-                params, detector.backbone, detector.model_type
-            )
-            return detector.loss_fn(
-                params, images, image_hw, gt_boxes, gt_mask, gt_labels, rng
-            )
-
-        (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), metrics
-
-    return train_step

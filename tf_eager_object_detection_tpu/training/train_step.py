@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["make_train_step", "TrainState"]
+__all__ = ["make_train_step", "train_step_body", "TrainState"]
 
 
 class TrainState(NamedTuple):
@@ -22,21 +22,13 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_train_step(detector, optimizer, with_probe: bool = False):
-    """Returns jitted (state, batch, rng) -> (state, metrics).
-
-    batch = (images, image_hw, gt_boxes, gt_mask, gt_labels).
-
-    with_probe=True adds a `probe` scalar (a full-params sum) to the
-    metrics for benchmark-only device->host sync (see bench.py); the
-    default keeps metrics to the reference's loss series so training
-    logs/TensorBoard match the reference's observability contract
-    (scripts/train.py:106-112).
-    """
+def train_step_body(detector, optimizer, with_probe: bool = False):
+    """Unjitted (state, batch, rng) -> (state, metrics): the ONE train-step
+    body shared by the single-device, DP (parallel/mesh.py) and spatial
+    (parallel/spatial.py) factories — only the jit shardings differ."""
 
     from tf_eager_object_detection_tpu.models.freeze import stop_frozen_gradients
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         images, image_hw, gt_boxes, gt_mask, gt_labels = batch
 
@@ -63,3 +55,19 @@ def make_train_step(detector, optimizer, with_probe: bool = False):
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
+
+
+def make_train_step(detector, optimizer, with_probe: bool = False):
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    batch = (images, image_hw, gt_boxes, gt_mask, gt_labels).
+
+    with_probe=True adds a `probe` scalar (a full-params sum) to the
+    metrics for benchmark-only device->host sync (see bench.py); the
+    default keeps metrics to the reference's loss series so training
+    logs/TensorBoard match the reference's observability contract
+    (scripts/train.py:106-112).
+    """
+    return jax.jit(
+        train_step_body(detector, optimizer, with_probe), donate_argnums=(0,)
+    )

@@ -138,6 +138,7 @@ class Trainer:
             self.step_fn = make_parallel_train_step(
                 detector, self.optimizer, self.mesh
             )
+            self.shard_fn = None  # multihost feeds via host_local_to_global
         elif self.spatial:
             # 2-D ("batch", "space") mesh: each image's rows are sharded
             # over `spatial_partition` devices, the rest of the devices form
@@ -145,25 +146,30 @@ class Trainer:
             from tf_eager_object_detection_tpu.parallel.spatial import (
                 make_spatial_mesh,
                 make_spatial_train_step,
+                shard_batch as spatial_shard_batch,
             )
 
             self.mesh = make_spatial_mesh(sp=int(spatial_partition))
             self.step_fn = make_spatial_train_step(
                 detector, self.optimizer, self.mesh
             )
+            self.shard_fn = spatial_shard_batch
         elif data_parallel:
             from tf_eager_object_detection_tpu.parallel.mesh import (
                 make_mesh,
                 make_parallel_train_step,
+                shard_batch,
             )
 
             self.mesh = make_mesh()
             self.step_fn = make_parallel_train_step(
                 detector, self.optimizer, self.mesh
             )
+            self.shard_fn = shard_batch
         else:
             self.mesh = None
             self.step_fn = make_train_step(detector, self.optimizer)
+            self.shard_fn = None
         self.lr_schedule = make_lr_schedule(cfg)
         self.ckpt = CheckpointManager(train_dir)
         if restore_ckpt_path:
@@ -229,15 +235,7 @@ class Trainer:
                         f"global batch {batch_tuple[0].shape[0]} not divisible "
                         f"by mesh batch axis {n_dp}"
                     )
-                if self.spatial:
-                    from tf_eager_object_detection_tpu.parallel.spatial import (
-                        shard_batch,
-                    )
-                else:
-                    from tf_eager_object_detection_tpu.parallel.mesh import (
-                        shard_batch,
-                    )
-                batch_tuple = shard_batch(batch_tuple, self.mesh)
+                batch_tuple = self.shard_fn(batch_tuple, self.mesh)
                 step_rng = replicate(step_rng, self.mesh)
             self.state, metrics = self.step_fn(self.state, batch_tuple, step_rng)
             n += 1
