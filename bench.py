@@ -113,8 +113,46 @@ def measure(model_type, backbone, batch=None, dtype=None, bucket=None,
     return best
 
 
+def _tunnel_precheck():
+    """Fail fast with a legible JSON error when the TPU tunnel is dead.
+
+    Under the ambient axon environment, jax backend init claims the remote
+    chip via 127.0.0.1:8083 (axon/register/pjrt.py); when that agent is down
+    the claim attempt blocks ~15 minutes before raising UNAVAILABLE. Only
+    fast-fails when the axon env markers are present AND the claim port
+    refuses connections — any other configuration passes through untouched.
+    """
+    import os
+    import socket
+
+    if "axon" not in os.environ.get("PYTHONPATH", "") and os.environ.get(
+        "JAX_PLATFORMS", ""
+    ) not in ("axon",):
+        return
+    try:
+        socket.create_connection(("127.0.0.1", 8083), timeout=5).close()
+    except OSError:
+        print(
+            json.dumps(
+                {
+                    "metric": "train_step_throughput",
+                    "value": None,
+                    "unit": "images/sec/chip",
+                    "error": (
+                        "TPU tunnel down: 127.0.0.1:8083 refuses "
+                        "connections, backend claim would hang then fail "
+                        "UNAVAILABLE"
+                    ),
+                }
+            )
+        )
+        sys.exit(1)
+
+
 def main():
     import os
+
+    _tunnel_precheck()
 
     import jax
 
