@@ -74,11 +74,12 @@ def _fresh_state(det, opt, params):
     return TrainState(p, opt.init(p), jnp.zeros((), jnp.int32))
 
 
-def _run_pair(mesh_shape, b):
-    cfg = _small_cfg()
-    det = model_factory("faster_rcnn", "vgg16", cfg)
+def _run_pair(mesh_shape, b, model_type="faster_rcnn", backbone="vgg16",
+              cfg=None):
+    cfg = _small_cfg() if cfg is None else cfg
+    det = model_factory(model_type, backbone, cfg)
     params = det.init_params(jax.random.PRNGKey(0))
-    opt = make_optimizer(cfg, params, "vgg16")
+    opt = make_optimizer(cfg, params, backbone, model_type)
     batch = _batch(cfg, b)
     rng = jax.random.PRNGKey(7)
 
@@ -154,12 +155,7 @@ def test_spatial_step_compiles_halo_exchange():
     )
 
 
-@pytest.mark.slow
-def test_spatial_step_compiles_fpn():
-    """Model breadth: the spatial step is model-agnostic — the FPN detector
-    (multi-level pyramid, P2..P6) must also partition spatially. Compile-only
-    (no execute): asserts the halo exchange is present for the FPN program
-    on a 1x4 mesh."""
+def _fpn_cfg():
     cfg = dict(config_factory("pascal", "fpn"))
     cfg.update(
         {
@@ -177,27 +173,31 @@ def test_spatial_step_compiles_fpn():
             "tpu_max_gt_boxes": 4,
         }
     )
-    det = model_factory("fpn", "resnet50", cfg)
-    params = det.init_params(jax.random.PRNGKey(0))
-    opt = make_optimizer(cfg, params, "resnet50")
-    mesh = make_spatial_mesh(dp=1, sp=4)
-    step = make_spatial_train_step(det, opt, mesh)
+    return cfg
 
-    h = w = 128
-    images = jnp.zeros((1, h, w, 3), jnp.float32)
-    hw = jnp.asarray([[h, w]], jnp.int32)
-    g = cfg["tpu_max_gt_boxes"]
-    gt = jnp.zeros((1, g, 4), jnp.float32).at[0, 0].set(
-        jnp.asarray([8.0, 8.0, 80.0, 88.0])
+
+@pytest.mark.slow
+def test_spatial_step_fpn_matches_single_device():
+    """Model breadth: the spatial step is model-agnostic — the FPN detector
+    (multi-level pyramid P2..P6, level assignment, per-level RoIAlign) must
+    also partition spatially AND reproduce the single-device numerics. 1x4
+    mesh on a 128x128 image: every pyramid level's rows divide evenly
+    (P2: 32/4 .. P5: 4/4; P6 2 rows pads one device)."""
+    state1, m1, stateN, mN = _run_pair(
+        (1, 4), b=1, model_type="fpn", backbone="resnet50", cfg=_fpn_cfg()
     )
-    mask = jnp.zeros((1, g), bool).at[0, 0].set(True)
-    labels = jnp.zeros((1, g), jnp.int32).at[0, 0].set(3)
-    batch = shard_batch((images, hw, gt, mask, labels), mesh)
-    state = replicate(
-        _fresh_state(det, opt, params), mesh
+    for k in ("total_loss", "rpn_cls_loss", "rpn_reg_loss",
+              "roi_cls_loss", "roi_reg_loss"):
+        np.testing.assert_allclose(
+            float(mN[k]), float(m1[k]), rtol=2e-4, atol=1e-6, err_msg=k
+        )
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    lN = jax.tree_util.tree_leaves(stateN.params)
+    worst = max(
+        float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-8))
+        for a, b in zip(l1, lN)
     )
-    compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
-    assert "collective-permute" in compiled.as_text()
+    assert worst < 1e-3, f"param divergence {worst}"
 
 
 def test_spatial_predict_matches_per_image():
