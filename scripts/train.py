@@ -79,7 +79,13 @@ def main():
 
         initialize(args.coordinator_address, args.num_processes, args.process_id)
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # JAX_COMPILATION_CACHE_DIR overrides so CPU test runs don't share the
+    # TPU cache dir (stale mismatched-machine-feature CPU AOT entries there
+    # make every load fail + recompile, widening multi-process compile skew)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     from tf_eager_object_detection_tpu.config.config_factory import (
         apply_config_overrides,

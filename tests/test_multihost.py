@@ -74,45 +74,58 @@ def test_two_process_dp_matches_single_device(tmp_path):
         "probe_std": float(np.asarray(leaves[0], np.float64).std()),
     }
 
-    port = _free_port()
-    coordinator = f"127.0.0.1:{port}"
-    procs, outs = [], []
     env_base = dict(os.environ)
     env_base["PYTHONPATH"] = _REPO_DIR
     env_base["JAX_PLATFORMS"] = "cpu"
-    for rank in range(2):
-        out = str(tmp_path / f"rank{rank}.json")
-        outs.append(out)
-        env = dict(env_base)
-        flags = [
-            f
-            for f in env.get("XLA_FLAGS", "").split()
-            if "xla_force_host_platform_device_count" not in f
-        ]
-        flags.append("--xla_force_host_platform_device_count=4")
-        env["XLA_FLAGS"] = " ".join(flags)
-        procs.append(
-            subprocess.Popen(
-                [
-                    sys.executable,
-                    os.path.join(_TESTS_DIR, "_multihost_worker.py"),
-                    coordinator,
-                    "2",
-                    str(rank),
-                    out,
-                ],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
+    # dedicated CPU compilation cache (see test_multihost_cli._env)
+    env_base["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cpu_test_cache"
+
+    def launch(tag):
+        coordinator = f"127.0.0.1:{_free_port()}"
+        procs, outs = [], []
+        for rank in range(2):
+            out = str(tmp_path / f"rank{rank}{tag}.json")
+            outs.append(out)
+            env = dict(env_base)
+            flags = [
+                f
+                for f in env.get("XLA_FLAGS", "").split()
+                if "xla_force_host_platform_device_count" not in f
+            ]
+            flags.append("--xla_force_host_platform_device_count=4")
+            env["XLA_FLAGS"] = " ".join(flags)
+            procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable,
+                        os.path.join(_TESTS_DIR, "_multihost_worker.py"),
+                        coordinator,
+                        "2",
+                        str(rank),
+                        out,
+                    ],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                )
             )
-        )
-    logs = []
-    for p in procs:
-        # generous bound: two workers each compile a VGG train step on this
-        # 1-core box; under a concurrently-running full suite the old 1200s
-        # limit produced contention-timeout flakes
-        stdout, _ = p.communicate(timeout=3600)
-        logs.append(stdout.decode(errors="replace"))
+        logs = []
+        for p in procs:
+            # generous bound: two workers each compile a VGG train step on
+            # this 1-core box; the old 1200s limit produced contention flakes
+            stdout, _ = p.communicate(timeout=3600)
+            logs.append(stdout.decode(errors="replace"))
+        return procs, logs, outs
+
+    # 1-core scheduling can skew the ranks past a coordination-service
+    # deadline (Gloo collective setup, shutdown barrier) — observed once
+    # each way. Retry once: attempt 1 warmed the compilation cache, so
+    # attempt 2 compiles near-instantly on both ranks and the skew collapses.
+    procs, logs, outs = launch("")
+    if any(p.returncode for p in procs) and any(
+        "DEADLINE_EXCEEDED" in log for log in logs
+    ):
+        procs, logs, outs = launch("_retry")
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
 

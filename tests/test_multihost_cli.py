@@ -100,6 +100,11 @@ def _env(device_count):
     env = dict(os.environ)
     env["PYTHONPATH"] = _REPO_DIR
     env["JAX_PLATFORMS"] = "cpu"
+    # dedicated CPU cache: (1) isolated from the TPU run's /tmp/jax_cache,
+    # (2) the single-process oracle warms it so the 2-process ranks compile
+    # near-instantly with tiny skew — Gloo's 30s collective-setup timeout
+    # is the flake budget on this 1-core machine
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cpu_test_cache"
     flags = [
         f
         for f in env.get("XLA_FLAGS", "").split()
@@ -128,25 +133,41 @@ def test_train_cli_multihost_matches_single_process(tmp_path):
     want = _losses(single.stdout)
     assert set(want) == {1, 2}, single.stdout[-2000:]
 
-    # 2 processes x 4 devices driving the same CLI with --multihost
-    coordinator = f"127.0.0.1:{_free_port()}"
-    procs = []
-    for rank in range(2):
-        procs.append(
+    # 2 processes x 4 devices driving the same CLI with --multihost.
+    # On this 1-core machine the two ranks' compiles interleave; when
+    # scheduling skews them >30s apart, Gloo's collective-setup
+    # GetKeyValue deadline kills a rank (observed under a concurrently
+    # loaded host). Retry once: attempt 1 warmed the compilation cache, so
+    # attempt 2's compiles are near-instant and the skew collapses.
+    def launch(logs_dir):
+        coordinator = f"127.0.0.1:{_free_port()}"
+        procs = [
             subprocess.Popen(
                 _train_cmd(
-                    tfrecords, str(tmp_path / "logs_mh"),
+                    tfrecords, logs_dir,
                     ["--multihost", "--coordinator_address", coordinator,
                      "--num_processes", "2", "--process_id", str(rank)],
                 ),
                 env=_env(4), cwd=_REPO_DIR,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
-        )
-    logs = []
-    for p in procs:
-        stdout, _ = p.communicate(timeout=3600)
-        logs.append(stdout.decode(errors="replace"))
+            for rank in range(2)
+        ]
+        logs = []
+        for p in procs:
+            stdout, _ = p.communicate(timeout=3600)
+            logs.append(stdout.decode(errors="replace"))
+        return procs, logs
+
+    # fresh dir per attempt: a partially-saved checkpoint from a failed
+    # attempt would otherwise be restored, shifting the logged step numbers
+    mh_dir = tmp_path / "logs_mh"
+    procs, logs = launch(str(mh_dir))
+    if any(p.returncode for p in procs) and any(
+        "DEADLINE_EXCEEDED" in log for log in logs
+    ):
+        mh_dir = tmp_path / "logs_mh_retry"
+        procs, logs = launch(str(mh_dir))
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"rank failed:\n{log[-4000:]}"
 
@@ -157,4 +178,4 @@ def test_train_cli_multihost_matches_single_process(tmp_path):
         np.testing.assert_allclose(got[step], want[step], rtol=1e-4)
 
     # both processes participated in the orbax save
-    assert os.path.isdir(tmp_path / "logs_mh" / "2")
+    assert os.path.isdir(mh_dir / "2")
