@@ -200,3 +200,159 @@ def test_eval_detection_voc_matches_reference(ref_map_utils, use_07_metric):
         got_ap, want_ap, atol=1e-10, equal_nan=True
     )
     np.testing.assert_allclose(got["map"], want["map"], atol=1e-10)
+
+
+def test_prediction_files_match_reference(tmp_path):
+    """The mAP-bearing writer seam (E1): the reference's OWN
+    `get_prediction_files` loop — per-class decode / clip(min_size vs the
+    raw image) / per-class NMS / per-image THRESHOLD-style cap / 1-based
+    coords / {:.3f}/{:.1f} file format
+    (pascal_eval_files_utils.py:76-122) — executed on fixed im_detect
+    outputs, vs our eval_post_process + _cap_per_image +
+    write_voc_detection_files on the same outputs (plus padded
+    invalid-roi rows the reference's dynamic shapes never see). The 20
+    class files must match byte-for-byte."""
+    from tf_eager_object_detection_tpu.data.label_map import PASCAL_CLASSES
+    from tf_eager_object_detection_tpu.evaluation.pascal_eval_files import (
+        _cap_per_image,
+        eval_post_process,
+        write_voc_detection_files,
+    )
+
+    rng = np.random.RandomState(7)
+    R, C = 64, 21
+    raw_h, raw_w = 200, 300
+    n_img = 3
+    fixtures = []
+    for i in range(n_img):
+        scores = rng.rand(R, C).astype(np.float32)
+        deltas = rng.uniform(-0.6, 0.6, (R, C, 4)).astype(np.float32)
+        x1 = rng.uniform(0, raw_w * 0.8, R)
+        y1 = rng.uniform(0, raw_h * 0.8, R)
+        if i == 2:
+            # mostly sub-min_size boxes: decoded edges stay < 10px for
+            # most rois, so this image lands UNDER the per-image cap and
+            # exercises the reference's no-cap branch
+            w = rng.uniform(1.0, 3.0, R)
+            h = rng.uniform(1.0, 3.0, R)
+            w[:3] = rng.uniform(60, 120, 3)
+            h[:3] = rng.uniform(60, 120, 3)
+            deltas[:, :, :] = rng.uniform(-0.05, 0.05, (R, C, 4))
+        else:
+            w = rng.uniform(15, 150, R)
+            h = rng.uniform(15, 150, R)
+        rois = np.stack(
+            [x1, y1, np.minimum(x1 + w, raw_w - 1), np.minimum(y1 + h, raw_h - 1)],
+            axis=1,
+        ).astype(np.float32)
+        fixtures.append((scores, deltas, rois))
+
+    # ---- reference side: fake model + fake eval dataset driving the
+    # reference's own writer (numpy-2 shim: `dets == []` raises on shape
+    # mismatch today; under the numpy the reference ran on it evaluated
+    # False for every non-empty-list operand, so the branch never fired)
+    bbox_tf = _load_ref("object_detection/utils/bbox_tf.py")
+    bbox_transform = _load_ref("object_detection/utils/bbox_transform.py")
+
+    class FakeModel:
+        def __init__(self):
+            self.i = 0
+
+        def im_detect(self, img, scale):
+            scores, deltas, rois = fixtures[self.i]
+            self.i += 1
+            return (
+                tf.constant(scores),
+                tf.constant(deltas.reshape(R, C * 4)),
+                tf.constant(rois),
+            )
+
+    image_sets = [f"img{i:03d}" for i in range(n_img)]
+    fake_dataset = [
+        (tf.zeros([1, 8, 8, 3]), 1.0, raw_h, raw_w) for _ in range(n_img)
+    ]
+
+    ref_mod = _load_ref(
+        "object_detection/evaluation/pascal_eval_files_utils.py",
+        inject={
+            "get_dataset_by_local_file": lambda *a, **kw: (fake_dataset, image_sets),
+            "get_dataset_by_tf_records": lambda *a, **kw: (fake_dataset, image_sets),
+            "decode_bbox_with_mean_and_std": bbox_transform[
+                "decode_bbox_with_mean_and_std"
+            ],
+            "bboxes_clip_filter": bbox_tf["bboxes_clip_filter"],
+            "tqdm": lambda x: x,
+        },
+        src_replace={"if dets == []:": "if False:"},
+    )
+    assert tuple(ref_mod["class_list"][1:]) == tuple(PASCAL_CLASSES)
+
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    ref_mod["get_prediction_files"](
+        FakeModel(),
+        dataset_type="cv2",
+        image_format="bgr",
+        data_root_path="unused",
+        mode="test",
+        result_file_format=str(ref_dir / "{:s}.txt"),
+        score_threshold=0.0,
+        iou_threshold=0.3,
+        max_objects_per_class=50,
+        max_objects_per_image=50,
+        target_means=[0, 0, 0, 0],
+        target_stds=[0.1, 0.1, 0.2, 0.2],
+        min_size=10,
+    )
+
+    # ---- our side: same outputs, padded with garbage invalid rois
+    per_image = []
+    pad = 16
+    for scores, deltas, rois in fixtures:
+        sm = np.concatenate([scores, rng.rand(pad, C).astype(np.float32)])
+        dl = np.concatenate(
+            [deltas, rng.randn(pad, C, 4).astype(np.float32)]
+        )
+        ro = np.concatenate([rois, rng.rand(pad, 4).astype(np.float32) * 50])
+        valid = np.concatenate([np.ones(R, bool), np.zeros(pad, bool)])
+        boxes_c, scores_c, valid_c = eval_post_process(
+            sm,
+            dl,
+            ro,
+            valid,
+            float(raw_h),
+            float(raw_w),
+            num_classes=C,
+            max_per_class=50,
+            score_threshold=0.0,
+            nms_iou_threshold=0.3,
+            min_size=10.0,
+            target_means=(0.0, 0.0, 0.0, 0.0),
+            target_stds=(0.1, 0.1, 0.2, 0.2),
+        )
+        boxes_c = np.asarray(boxes_c)
+        scores_c = np.asarray(scores_c)
+        valid_c = np.asarray(valid_c)
+        dets = [
+            np.concatenate(
+                [boxes_c[j][valid_c[j]], scores_c[j][valid_c[j], None]], axis=1
+            )
+            for j in range(C - 1)
+        ]
+        per_image.append(_cap_per_image(dets, 50))
+
+    our_dir = tmp_path / "ours"
+    our_dir.mkdir()
+    write_voc_detection_files(
+        per_image, image_sets, PASCAL_CLASSES, str(our_dir / "{:s}.txt")
+    )
+
+    n_lines = 0
+    for cls in PASCAL_CLASSES:
+        want = (ref_dir / f"{cls}.txt").read_text()
+        got = (our_dir / f"{cls}.txt").read_text()
+        assert got == want, f"class {cls} file differs"
+        n_lines += len(want.splitlines())
+    # the fixture must actually exercise the path: detections present and
+    # the per-image cap engaged on the dense images
+    assert n_lines >= 100
