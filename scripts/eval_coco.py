@@ -49,6 +49,7 @@ def main():
         batched_im_detect,
     )
     from tf_eager_object_detection_tpu.evaluation.coco_eval import (
+        coco_results_for_image,
         evaluate_coco_detections,
     )
     from tf_eager_object_detection_tpu.evaluation.pascal_eval_files import (
@@ -74,7 +75,6 @@ def main():
         detector, params, iterator, args.batch_size
     ):
         raw_h, raw_w, img_id = item[3], item[4], item[5]
-        results = per_index.setdefault(idx, [])
         boxes_c, scores_c, valid_c = eval_post_process(
             sm, deltas, rois, roi_valid, float(raw_h), float(raw_w),
             num_classes=detector.num_classes,
@@ -85,25 +85,14 @@ def main():
             target_means=tuple(cfg["roi_proposal_means"]),
             target_stds=tuple(cfg["roi_proposal_stds"]),
         )
-        boxes_c = np.asarray(boxes_c)
-        scores_c = np.asarray(scores_c)
-        valid_c = np.asarray(valid_c)
-        for j in range(detector.num_classes - 1):
-            # annotation files with a category subset (e.g. minival slices)
-            # leave trailing label slots unmapped — skip those classes
-            cat_id = ds.label_to_cat_id.get(j + 1)
-            if cat_id is None:
-                continue
-            for box, score in zip(boxes_c[j][valid_c[j]], scores_c[j][valid_c[j]]):
-                x1, y1, x2, y2 = [float(v) for v in box]
-                results.append(
-                    {
-                        "image_id": int(img_id),
-                        "category_id": int(cat_id),
-                        "bbox": [x1, y1, x2 - x1, y2 - y1],
-                        "score": float(score),
-                    }
-                )
+        per_index[idx] = coco_results_for_image(
+            np.asarray(boxes_c),
+            np.asarray(scores_c),
+            np.asarray(valid_c),
+            img_id,
+            ds.label_to_cat_id,
+            cfg["max_objects_per_image"],
+        )
     results = [r for idx in sorted(per_index) for r in per_index[idx]]
     with open(args.results_json, "w") as f:
         json.dump(results, f)

@@ -19,7 +19,51 @@ from typing import Dict, Sequence
 
 import numpy as np
 
-__all__ = ["CocoBboxEval", "evaluate_coco_detections"]
+__all__ = [
+    "CocoBboxEval",
+    "coco_results_for_image",
+    "evaluate_coco_detections",
+]
+
+
+def coco_results_for_image(
+    boxes_c, scores_c, valid_c, img_id, label_to_cat_id, max_per_image
+):
+    """Results-JSON entries for one image from `eval_post_process` outputs.
+
+    Reproduces the reference's per-image result building
+    (scripts/eval_coco.py:117-164): per-class NMS survivors are
+    class-concatenated, capped with an exact per-image top-k
+    (tf.nn.top_k over the concatenated scores, :153-158 — unlike the VOC
+    writer's threshold-style cap), and written as xywh with the +1 w/h
+    pixel convention (:160-163). Ties at the cap keep the earlier
+    class-major entry, matching top_k's stable index order.
+
+    boxes_c: [C-1, K, 4]; scores_c/valid_c: [C-1, K]; label_to_cat_id maps
+    contiguous labels (1-based) to COCO category ids — labels without a
+    mapping (category-subset annotation files) are skipped.
+    """
+    results = []
+    for j in range(len(boxes_c)):
+        cat_id = label_to_cat_id.get(j + 1)
+        if cat_id is None:
+            continue
+        for box, score in zip(boxes_c[j][valid_c[j]], scores_c[j][valid_c[j]]):
+            x1, y1, x2, y2 = (float(v) for v in box)
+            results.append(
+                {
+                    "image_id": int(img_id),
+                    "category_id": int(cat_id),
+                    "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1],
+                    "score": float(score),
+                }
+            )
+    if max_per_image > 0 and len(results) > max_per_image:
+        order = sorted(
+            range(len(results)), key=lambda i: (-results[i]["score"], i)
+        )
+        results = [results[i] for i in sorted(order[:max_per_image])]
+    return results
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)
