@@ -154,6 +154,29 @@ def main():
 
     _tunnel_precheck()
 
+    # Concurrent host load corrupts tunneled-dispatch timing (measured: a
+    # CPU pytest run sharing this 1-core host depressed the b1 reading by
+    # 25% with zero code delta — BENCHLOG). Flag it rather than silently
+    # reporting a deflated number.
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        load1 = 0.0
+    ncpu = os.cpu_count() or 1
+    if load1 > 0.5 * ncpu:
+        print(
+            json.dumps(
+                {
+                    "warning": (
+                        f"host 1-min load {load1:.1f} on {ncpu} cpu(s): "
+                        "concurrent processes stall tunneled dispatch and "
+                        "deflate throughput readings"
+                    )
+                }
+            ),
+            file=sys.stderr,
+        )
+
     import jax
 
     # Persistent compilation cache: repeat benchmark runs skip the multi-minute
