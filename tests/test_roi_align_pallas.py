@@ -510,3 +510,57 @@ def test_fpn_fused_levels_matches_per_level_model_path():
     np.testing.assert_array_equal(
         np.asarray(outs[True].valid), np.asarray(outs[False].valid)
     )
+
+
+def test_fpn_pallas_train_grad_bf16_cotangent_dtype():
+    """bf16 FPN train gradients through the pallas RoIAlign (fused and
+    per-level kernels): the custom_vjp backward accumulates in f32 for
+    precision but must hand cotangents back in the PRIMAL dtype — an f32
+    cotangent for a bf16 pyramid level crashes grad accumulation where the
+    RPN head convs consume the same feature map (found by the on-chip
+    b8-bf16 pallas-train A/B: AssertionError f32[8,20,32,256] vs
+    bf16[8,20,32,256])."""
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+
+    rng = np.random.RandomState(4)
+    images = jnp.asarray(rng.randn(1, 128, 128, 3).astype(np.float32))
+    hw = jnp.asarray([[120, 124]], jnp.int32)
+    gt = jnp.asarray(
+        np.array([[[10.0, 12.0, 70.0, 60.0], [40.0, 50.0, 100.0, 110.0]]], np.float32)
+    )
+    gtm = jnp.asarray([[True, True]])
+    gtl = jnp.asarray([[1, 2]], jnp.int32)
+
+    for fused in (True, False):
+        cfg = dict(config_factory("pascal", "fpn"))
+        cfg.update(
+            {
+                "tpu_image_buckets": [[128, 128]],
+                "image_min_size": 128,
+                "image_max_size": 128,
+                "rpn_proposal_train_pre_nms_sample_number": 256,
+                "rpn_proposal_train_after_nms_sample_number": 16,
+                "rpn_total_sample_number": 32,
+                "rpn_pos_sample_max_number": 16,
+                "roi_total_sample_number": 16,
+                "roi_pos_sample_max_number": 4,
+                "tpu_max_gt_boxes": 2,
+                "tpu_compute_dtype": "bfloat16",
+                "tpu_roi_align_impl": "pallas_interpret",
+                "tpu_roi_align_fused_levels": fused,
+            }
+        )
+        det = model_factory("fpn", "resnet50", cfg)
+        params = det.init_params(jax.random.PRNGKey(0))
+
+        def total_loss(p):
+            total, _ = det.loss_fn(
+                p, images, hw, gt, gtm, gtl, jax.random.PRNGKey(1)
+            )
+            return total
+
+        grads = jax.grad(total_loss)(params)
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(l.astype(jnp.float32)))) for l in leaves)
+        assert any(float(jnp.abs(l.astype(jnp.float32)).sum()) > 0 for l in leaves)

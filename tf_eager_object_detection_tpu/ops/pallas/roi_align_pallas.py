@@ -417,8 +417,12 @@ def _roi_align_vjp_bwd(
             features,
         )
         (df,) = vjp(g)
+    # the window backward accumulates in f32 regardless of the feature
+    # dtype (precision); the cotangent must still match the primal dtype
+    # or grad accumulation with other bf16 consumers of the same feature
+    # map (e.g. the RPN head convs) fails a dtype assertion
     return (
-        df,
+        df.astype(features.dtype),
         jnp.zeros_like(rois),
         jnp.zeros_like(act),
         jnp.zeros_like(ih),
@@ -1003,15 +1007,23 @@ def _ml_vjp_fwd(strides, crop_size, interpret, window_dtype, window,
         p_list, rois, levels_f.astype(jnp.int32), valid_f, ih, iw, strides,
         crop_size, interpret, window_dtype, window,
     )
-    return out, (tuple(f.shape for f in p_list), rois, levels_f, valid_f, ih, iw)
+    return out, (
+        tuple(f.shape for f in p_list),
+        # dtype carriers: residuals must be JAX arrays, so each primal's
+        # dtype travels as a zero-size array of that dtype
+        tuple(jnp.zeros((0,), f.dtype) for f in p_list),
+        rois, levels_f, valid_f, ih, iw,
+    )
 
 
 def _ml_vjp_bwd(strides, crop_size, interpret, window_dtype, window, res, g):
-    feat_shapes, rois, levels_f, valid_f, ih, iw = res
+    feat_shapes, dtype_carriers, rois, levels_f, valid_f, ih, iw = res
     dfs = _ml_backward(
         g, feat_shapes, rois, levels_f.astype(jnp.int32), valid_f, ih, iw,
         strides, crop_size, interpret, window,
     )
+    # f32 accumulation inside; cotangent dtype must match each primal's
+    dfs = tuple(df.astype(c.dtype) for df, c in zip(dfs, dtype_carriers))
     return (
         dfs,
         jnp.zeros_like(rois),
