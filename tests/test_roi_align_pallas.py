@@ -532,7 +532,13 @@ def test_fpn_pallas_train_grad_bf16_cotangent_dtype():
     gtm = jnp.asarray([[True, True]])
     gtl = jnp.asarray([[1, 2]], jnp.int32)
 
-    for fused in (True, False):
+    # (fused, window_dtype): both kernels at the default f32 window, plus
+    # the all-bf16 combination (bf16 compute + bf16 window DMA)
+    for fused, window_dtype in (
+        (True, "float32"),
+        (False, "float32"),
+        (True, "bfloat16"),
+    ):
         cfg = dict(config_factory("pascal", "fpn"))
         cfg.update(
             {
@@ -549,6 +555,7 @@ def test_fpn_pallas_train_grad_bf16_cotangent_dtype():
                 "tpu_compute_dtype": "bfloat16",
                 "tpu_roi_align_impl": "pallas_interpret",
                 "tpu_roi_align_fused_levels": fused,
+                "tpu_roi_align_window_dtype": window_dtype,
             }
         )
         det = model_factory("fpn", "resnet50", cfg)
