@@ -27,6 +27,9 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=8,
                    help="bucket-grouped im_detect_batch size (the measured "
                         "batched-serving win; 1 = reference-style per-image)")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard each eval batch over the first N devices "
+                        "(GSPMD; batch_size must divide by N; 0 = single device)")
     p.add_argument("--config_override", action="append", default=[],
                    metavar="KEY=JSON",
                    help="override a single config key (JSON value; repeatable)")
@@ -72,7 +75,8 @@ def main():
     # results JSON stays byte-identical to the per-image (batch_size=1) path
     per_index = {}
     for idx, item, (sm, deltas, rois, roi_valid) in batched_im_detect(
-        detector, params, iterator, args.batch_size
+        detector, params, iterator, args.batch_size,
+        data_parallel=args.data_parallel,
     ):
         raw_h, raw_w, img_id = item[3], item[4], item[5]
         boxes_c, scores_c, valid_c = eval_post_process(

@@ -38,6 +38,12 @@ def parse_args():
     # reference eval_pascal.py:126: evaluate existing result files without
     # running the model
     p.add_argument("--use_local_result_files", action="store_true")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="bucket-grouped im_detect_batch size (1 = "
+                        "reference-style per-image)")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard each eval batch over the first N devices "
+                        "(GSPMD; batch_size must divide by N; 0 = single device)")
     p.add_argument("--config_override", action="append", default=[],
                    metavar="KEY=JSON",
                    help="override a single config key (JSON value; repeatable)")
@@ -107,6 +113,8 @@ def main():
             nms_iou_threshold=cfg["prediction_nms_iou_threshold"],
             max_objects_per_class=cfg["max_objects_per_class_per_image"],
             max_objects_per_image=cfg["max_objects_per_image"],
+            batch_size=args.batch_size,
+            data_parallel=args.data_parallel,
         )
 
     annopath = os.path.join(args.root_path, "Annotations", "{:s}.xml")

@@ -80,6 +80,58 @@ def test_batched_im_detect_single_item():
     assert det.calls == [(8, 4, 4, 3)]  # padded by repetition
 
 
+def test_batched_im_detect_data_parallel_matches_single_device():
+    """data_parallel=2 (batch sharded over a 2-device mesh, params
+    replicated) must produce the same per-image results as the
+    single-device path — pure GSPMD scale-out of eval inference."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    import jax.numpy as jnp
+
+    from tf_eager_object_detection_tpu.config.config_factory import config_factory
+    from tf_eager_object_detection_tpu.evaluation.batched_inference import (
+        batched_im_detect,
+    )
+    from tf_eager_object_detection_tpu.models.model_factory import model_factory
+
+    cfg = dict(config_factory("pascal", "faster_rcnn"))
+    cfg["tpu_image_buckets"] = [[96, 96]]
+    cfg["rpn_proposal_test_pre_nms_sample_number"] = 128
+    cfg["rpn_proposal_test_after_nms_sample_number"] = 16
+    det = model_factory("faster_rcnn", "vgg16", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    items = [
+        (
+            rng.randn(96, 96, 3).astype(np.float32),
+            np.asarray([96, 96], np.int32),
+            1.0,
+        )
+        for _ in range(4)
+    ]
+
+    single = {i: out for i, _, out in batched_im_detect(det, params, items, 4)}
+    dp = {
+        i: out
+        for i, _, out in batched_im_detect(
+            det, params, items, 4, data_parallel=2
+        )
+    }
+    assert single.keys() == dp.keys()
+    for i in single:
+        for a, b in zip(single[i], dp[i]):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-5, atol=1e-5,
+            )
+
+    with pytest.raises(ValueError, match="divisible"):
+        list(batched_im_detect(det, params, items, 3, data_parallel=2))
+
+
 @pytest.mark.slow
 def test_eval_coco_cli_batched_matches_per_image(tmp_path):
     """VERDICT r2 #4 done-criterion: COCO eval runs batched with identical

@@ -136,6 +136,76 @@ def test_adam_optimizer_option():
         make_optimizer(cfg_bad, params, "vgg16")
 
 
+def test_fused_optimizer_equivalence():
+    """The fused single-pass momentum (tpu_fused_optimizer=True, the default)
+    must be bit-identical to the optax chain it replaces, across an LR
+    boundary, on frozen / bias-doubled / weight-decayed leaves alike."""
+    cfg = _small_config()
+    cfg["learning_rate_multi_decay_steps"] = [3]
+    cfg["learning_rate_multi_lrs"] = [1e-3, 1e-4]
+    assert cfg.get("learning_rate_bias_double", True)
+
+    # Synthetic tree shaped like the real layout: frozen block1 kernel,
+    # trainable block3 kernel+bias, a BN gamma, and head leaves.
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    params = {
+        "extractor": {
+            "block1_conv1": {"kernel": jax.random.normal(ks[0], (3, 3, 3, 8))},
+            "block3_conv1": {
+                "kernel": jax.random.normal(ks[1], (3, 3, 8, 16)),
+                "bias": jax.random.normal(ks[2], (16,)),
+            },
+            "block3_bn": {"gamma": jax.random.normal(ks[3], (16,))},
+        },
+        "rpn_head": {
+            "conv": {
+                "kernel": jax.random.normal(ks[4], (3, 3, 16, 16)),
+                "bias": jax.random.normal(ks[5], (16,)),
+            }
+        },
+    }
+
+    cfg_chain = dict(cfg)
+    cfg_chain["tpu_fused_optimizer"] = False
+    opt_f = make_optimizer(cfg, params, "vgg16")
+    opt_c = make_optimizer(cfg_chain, params, "vgg16")
+    from tf_eager_object_detection_tpu.training.optimizer import FusedMomentumState
+
+    assert isinstance(opt_f.init(params), FusedMomentumState)
+
+    state_f, state_c = opt_f.init(params), opt_c.init(params)
+    params_f = params_c = params
+    up_f = jax.jit(opt_f.update)
+    up_c = jax.jit(opt_c.update)
+    for i in range(6):  # crosses the step-3 LR boundary
+        grads = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(jax.random.fold_in(ks[6], i), p.shape),
+            params,
+        )
+        # frozen leaves get zero grads in the real step (stop_frozen_gradients)
+        grads["extractor"]["block1_conv1"]["kernel"] = jnp.zeros((3, 3, 3, 8))
+        grads["extractor"]["block3_bn"]["gamma"] = jnp.zeros((16,))
+        u_f, state_f = up_f(grads, state_f, params_f)
+        u_c, state_c = up_c(grads, state_c, params_c)
+        import optax
+
+        params_f = optax.apply_updates(params_f, u_f)
+        params_c = optax.apply_updates(params_c, u_c)
+        for (pf_path, pf), (_, pc) in zip(
+            jax.tree_util.tree_flatten_with_path(params_f)[0],
+            jax.tree_util.tree_flatten_with_path(params_c)[0],
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(pf), np.asarray(pc), err_msg=f"step {i}: {pf_path}"
+            )
+    # frozen leaves never moved
+    np.testing.assert_array_equal(
+        np.asarray(params_f["extractor"]["block1_conv1"]["kernel"]),
+        np.asarray(params["extractor"]["block1_conv1"]["kernel"]),
+    )
+
+
 def test_im_detect_batch_matches_single():
     """im_detect_batch (two jitted stages — split to dodge an XLA:TPU fused
     kernel fault at b8 bf16, see BENCHLOG round 2) must equal per-image

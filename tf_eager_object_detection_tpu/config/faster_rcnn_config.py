@@ -80,6 +80,10 @@ def get_default_pascal_faster_rcnn_config():
         # large_first for bf16 — measured, BENCHLOG round 3), or an
         # explicit 'h_first' / 'w_first' / 'large_first'
         "tpu_roi_align_contract": "auto",
+        # single-fusion SGD-momentum update (one HBM pass over params/trace
+        # instead of the optax chain's several) — bit-identical math, see
+        # training/optimizer.py
+        "tpu_fused_optimizer": True,
     }
 
 

@@ -82,6 +82,10 @@ def get_default_pascal_fpn_config():
         # einsum RoIAlign contraction order; FPN 'auto' = large_first
         # (wins both dtypes on-chip, see models/fpn.py::_contract_order)
         "tpu_roi_align_contract": "auto",
+        # single-fusion SGD-momentum update (one HBM pass over params/trace
+        # instead of the optax chain's several) — bit-identical math, see
+        # training/optimizer.py
+        "tpu_fused_optimizer": True,
     }
 
 

@@ -23,6 +23,7 @@ def batched_im_detect(
     params,
     items: Iterable,
     batch_size: int = 8,
+    data_parallel: int = 0,
 ) -> Iterator[Tuple[int, tuple, tuple]]:
     """Yields (stream_index, item, (softmax, deltas, rois, roi_valid)).
 
@@ -33,7 +34,28 @@ def batched_im_detect(
     element; padded rows are dropped before yielding). Yield order is
     batch-completion order, NOT stream order — consumers index by
     `stream_index`.
+
+    data_parallel > 0 shards each flushed batch's leading axis over the
+    first `data_parallel` devices (params replicated) — pure GSPMD: the
+    committed input shardings make `im_detect_batch`'s jits compile one
+    SPMD program per bucket, with per-image detection numerics unchanged
+    (the reference has no multi-GPU eval at all; this is the TPU-mesh
+    scale-out of its per-image loop, eval_coco.py:117-155).
     """
+    mesh = None
+    if data_parallel:
+        from tf_eager_object_detection_tpu.parallel.mesh import (
+            make_mesh,
+            replicate,
+            shard_batch,
+        )
+
+        if batch_size % data_parallel:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by data_parallel={data_parallel}"
+            )
+        mesh = make_mesh(data_parallel)
+        params = replicate(params, mesh)
 
     def flush(group):
         n_real = len(group)
@@ -45,6 +67,8 @@ def batched_im_detect(
         scales = jnp.asarray(
             np.asarray([it[2] for it in padded], np.float32)
         )
+        if mesh is not None:
+            images, hws, scales = shard_batch((images, hws, scales), mesh)
         sm, deltas, rois, roi_valid = detector.im_detect_batch(
             params, images, hws, scales
         )

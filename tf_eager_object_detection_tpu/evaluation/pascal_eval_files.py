@@ -90,11 +90,13 @@ def get_prediction_files(
     max_objects_per_image: int = 50,
     min_size: float = 10.0,
     batch_size: int = 8,
+    data_parallel: int = 0,
 ):
     """Runs eval inference and writes per-class VOC result files.
 
     eval_iterator yields (image [Hp, Wp, 3], image_hw [2], scale, raw_h,
-    raw_w) host-side tuples aligned with image_ids.
+    raw_w) host-side tuples aligned with image_ids. data_parallel > 0
+    shards each batch over the first N devices (see batched_im_detect).
     """
     from tf_eager_object_detection_tpu.evaluation.batched_inference import (
         batched_im_detect,
@@ -105,7 +107,7 @@ def get_prediction_files(
     per_image: List[np.ndarray | None] = [None] * len(image_ids)
 
     for img_idx, item, (sm, deltas, rois, roi_valid) in batched_im_detect(
-        detector, params, eval_iterator, batch_size
+        detector, params, eval_iterator, batch_size, data_parallel=data_parallel
     ):
         raw_h, raw_w = item[3], item[4]
         boxes_c, scores_c, valid_c = eval_post_process(
