@@ -6,7 +6,9 @@ bucket, batch 1 per reference semantics, scripts/train.py batch_size=1).
 
 Knobs (env): BENCH_MODEL=faster_rcnn|fpn, BENCH_BACKBONE=resnet50|...,
 BENCH_BATCH=N, BENCH_DTYPE=float32|bfloat16, BENCH_BUCKET=HxW,
-BENCH_PROFILE_DIR=dir, BENCH_EXTRA=0 (skip the extra b8-bf16 datapoint).
+BENCH_PROFILE_DIR=dir, BENCH_EXTRA=0 (skip the extra b8-bf16 datapoint),
+BENCH_CONFIG_OVERRIDE="key=json;key=json" (per-key config overrides for
+A/B runs; unknown keys raise).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "baseline_note", "extras"}. The headline metric stays the reference-exact
@@ -23,7 +25,7 @@ ASSUMED_BASELINE_IMG_PER_SEC = 5.0
 
 
 def measure(model_type, backbone, batch=None, dtype=None, bucket=None,
-            profile_dir=None, n_steps=40, n_windows=3):
+            profile_dir=None, n_steps=40, n_windows=3, config_override=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -44,6 +46,10 @@ def measure(model_type, backbone, batch=None, dtype=None, bucket=None,
     if bucket:
         bh, bw = (int(v) for v in bucket.split("x"))
         cfg["tpu_image_buckets"] = [[bh, bw]]
+    for key, value in (config_override or {}).items():
+        if key not in cfg:
+            raise KeyError(f"BENCH_CONFIG_OVERRIDE: unknown config key {key!r}")
+        cfg[key] = value
     det = model_factory(model_type, backbone, cfg)
     params = det.init_params(jax.random.PRNGKey(0))
     opt = make_optimizer(cfg, params, backbone, model_type)
@@ -193,11 +199,20 @@ def main():
         dtype=os.environ.get("BENCH_DTYPE"),
         bucket=os.environ.get("BENCH_BUCKET"),
         profile_dir=os.environ.get("BENCH_PROFILE_DIR"),
+        config_override={
+            k: json.loads(v)
+            for k, v in (
+                kv.split("=", 1)
+                for kv in os.environ.get("BENCH_CONFIG_OVERRIDE", "").split(";")
+                if kv
+            )
+        },
     )
     extras = {}
     if os.environ.get("BENCH_EXTRA", "1") != "0" and not any(
         os.environ.get(k)
-        for k in ("BENCH_BATCH", "BENCH_DTYPE", "BENCH_BUCKET", "BENCH_PROFILE_DIR")
+        for k in ("BENCH_BATCH", "BENCH_DTYPE", "BENCH_BUCKET",
+                  "BENCH_PROFILE_DIR", "BENCH_CONFIG_OVERRIDE")
     ):
         extras["b8_bfloat16_img_per_sec"] = round(
             measure(model_type, backbone, batch=8, dtype="bfloat16"), 3
