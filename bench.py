@@ -24,6 +24,22 @@ import time
 ASSUMED_BASELINE_IMG_PER_SEC = 5.0
 
 
+def _parse_config_override(raw):
+    """Parse BENCH_CONFIG_OVERRIDE ("key=json;key=json") -> dict."""
+    out = {}
+    for kv in raw.split(";"):
+        if not kv:
+            continue
+        if "=" not in kv:
+            raise ValueError(
+                f"BENCH_CONFIG_OVERRIDE: segment {kv!r} has no '='; "
+                "expected key=json (e.g. fused_momentum=false)"
+            )
+        k, v = kv.split("=", 1)
+        out[k] = json.loads(v)
+    return out
+
+
 def measure(model_type, backbone, batch=None, dtype=None, bucket=None,
             profile_dir=None, n_steps=40, n_windows=3, config_override=None):
     import jax
@@ -192,6 +208,9 @@ def main():
 
     model_type = os.environ.get("BENCH_MODEL", "faster_rcnn")
     backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
+    config_override = _parse_config_override(
+        os.environ.get("BENCH_CONFIG_OVERRIDE", "")
+    )
     img_per_sec = measure(
         model_type,
         backbone,
@@ -199,14 +218,7 @@ def main():
         dtype=os.environ.get("BENCH_DTYPE"),
         bucket=os.environ.get("BENCH_BUCKET"),
         profile_dir=os.environ.get("BENCH_PROFILE_DIR"),
-        config_override={
-            k: json.loads(v)
-            for k, v in (
-                kv.split("=", 1)
-                for kv in os.environ.get("BENCH_CONFIG_OVERRIDE", "").split(";")
-                if kv
-            )
-        },
+        config_override=config_override,
     )
     extras = {}
     if os.environ.get("BENCH_EXTRA", "1") != "0" and not any(
@@ -230,6 +242,13 @@ def main():
                     "single-GPU training speed)"
                 ),
                 "extras": extras,
+                # mark A/B datapoints so they can't be confused with the
+                # headline configuration in archived BENCH_r*.json files
+                **(
+                    {"config_override": config_override}
+                    if config_override
+                    else {}
+                ),
             }
         )
     )
