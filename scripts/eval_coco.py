@@ -88,6 +88,7 @@ def main():
             min_size=10.0,
             target_means=tuple(cfg["roi_proposal_means"]),
             target_stds=tuple(cfg["roi_proposal_stds"]),
+            clip_deltas=not cfg.get("strict_reference_parity", False),
         )
         per_index[idx] = coco_results_for_image(
             np.asarray(boxes_c),

@@ -346,3 +346,114 @@ def test_proposal_target_matches_reference(ref_utils):
     np.testing.assert_allclose(
         np.asarray(got.out_weights), w_out.numpy()
     )  # all ones in both
+
+
+def test_proposal_target_strict_parity_reproduces_column_bug(ref_utils):
+    """strict_class_column=True matches the reference's labels[idx]
+    class-column indexing (proposal_target.py:97-99,114-117) ELEMENTWISE on a
+    fixture where the bug is visible: fg rois are NOT first in the roi array,
+    so labels[idx] (the idx-th roi's label in ORIGINAL order) differs from
+    the selected fg roi's own label. Deterministic branches: fg count (2) <=
+    max_pos (4), bg count (4) == quota (reference keeps tf.where ascending
+    order in both)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tf_eager_object_detection_tpu.ops.sampling import proposal_target
+
+    ref = _load_ref(
+        "object_detection/model/proposal_target.py", inject=ref_utils
+    )
+    gt = np.array(
+        [[20.0, 20.0, 120.0, 120.0], [200.0, 50.0, 330.0, 170.0]], np.float32
+    )
+    gt_labels = np.array([3, 7], np.int32)
+    # original order: bg(->gt1), fg(gt0), bg(->gt0), fg(gt1), bg, bg
+    # => reference writes fg slot 0's target at column labels[0] = 7 (roi 0's
+    # argmax label) although the selected fg roi's own label is 3, and slot
+    # 1's at labels[1] = 3 although its roi's label is 7 — columns swapped
+    rois = np.array(
+        [
+            [240.0, 90.0, 370.0, 210.0],  # bg, argmax gt1 (label 7)
+            [22.0, 18.0, 118.0, 118.0],   # fg gt0 (label 3)
+            [60.0, 60.0, 180.0, 180.0],   # bg, argmax gt0 (label 3)
+            [205.0, 55.0, 335.0, 165.0],  # fg gt1 (label 7)
+            [90.0, 0.0, 210.0, 90.0],     # bg
+            [150.0, 40.0, 260.0, 140.0],  # bg
+        ],
+        np.float32,
+    )
+    num_classes = 9
+    kw = dict(
+        num_classes=num_classes,
+        pos_iou_threshold=0.5,
+        neg_iou_threshold=0.1,
+        total_num_samples=6,
+        max_pos_samples=4,
+    )
+    pt_ref = ref["ProposalTarget"](
+        target_means=[0.0, 0.0, 0.0, 0.0],
+        target_stds=[0.1, 0.1, 0.2, 0.2],
+        **kw,
+    )
+    w_rois, w_labels, w_targets, w_in, w_out = pt_ref(
+        (tf.constant(rois), tf.constant(gt), tf.constant(gt_labels))
+    )
+    w_labels = w_labels.numpy()
+    assert (w_labels > 0).sum() == 2  # deterministic-branch fixture
+    # the bug IS visible here: fg slot 0 (roi 1, own label 3) has its
+    # in-weights at class column 7
+    w_in_c = w_in.numpy().reshape(-1, num_classes, 4)
+    assert w_in_c[0, 7].sum() == 4.0 and w_in_c[0, 3].sum() == 0.0
+    assert w_in_c[1, 3].sum() == 4.0 and w_in_c[1, 7].sum() == 0.0
+
+    def run(strict):
+        return proposal_target(
+            jnp.asarray(rois),
+            jnp.ones((len(rois),), bool),
+            jnp.asarray(gt),
+            jnp.ones((len(gt),), bool),
+            jnp.asarray(gt_labels),
+            jax.random.PRNGKey(0),
+            target_means=(0.0, 0.0, 0.0, 0.0),
+            target_stds=(0.1, 0.1, 0.2, 0.2),
+            strict_class_column=strict,
+            **kw,
+        )
+
+    got = run(strict=True)
+    # strict mode matches the reference ELEMENTWISE (same slot order: fg
+    # ascending then bg ascending) including the buggy columns
+    np.testing.assert_allclose(np.asarray(got.rois), w_rois.numpy(), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.labels), w_labels)
+    np.testing.assert_allclose(
+        np.asarray(got.bbox_targets), w_targets.numpy(), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(got.in_weights), w_in.numpy())
+    np.testing.assert_allclose(np.asarray(got.out_weights), w_out.numpy())
+
+    # default mode uses the selected roi's own label: the fg in-weight
+    # columns are 3 and 7 on the rois' OWN labels, i.e. different from the
+    # reference's buggy placement
+    got_def = run(strict=False)
+    d_in = np.asarray(got_def.in_weights).reshape(-1, num_classes, 4)
+    d_labels = np.asarray(got_def.labels)
+    for i in range(len(d_labels)):
+        if d_labels[i] > 0:
+            assert d_in[i, d_labels[i]].sum() == 4.0
+    # the (class column, target vector) PAIRING differs between the modes:
+    # the reference places roi-with-label-3's encoding at column 7 (and vice
+    # versa), the default places each fg roi's encoding at its own column
+    def col_target_pairs(targets):
+        t = np.asarray(targets).reshape(-1, num_classes, 4)
+        return {
+            (c, tuple(np.round(t[i, c], 3)))
+            for i in range(t.shape[0])
+            for c in np.nonzero(np.abs(t[i]).sum(1))[0]
+        }
+
+    strict_pairs = col_target_pairs(got.bbox_targets)
+    default_pairs = col_target_pairs(got_def.bbox_targets)
+    assert strict_pairs == col_target_pairs(w_targets.numpy())
+    assert {c for c, _ in strict_pairs} == {c for c, _ in default_pairs} == {3, 7}
+    assert strict_pairs != default_pairs

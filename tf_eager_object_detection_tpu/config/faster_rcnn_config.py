@@ -71,6 +71,12 @@ def get_default_pascal_faster_rcnn_config():
         "roi_neg_iou_threshold": 0.0,
         "roi_total_sample_number": 128,
         "roi_pos_sample_max_number": 32,
+        # reproduce the reference's documented quirks bit-for-bit: the
+        # proposal_target class-column indexing (proposal_target.py:97-117)
+        # and the unclamped decode (bbox_transform.py:32-55). Off by default
+        # (standard Faster R-CNN semantics + NaN-safe decode); turn on for
+        # bit-faithful fine-tuning from imported reference checkpoints
+        "strict_reference_parity": False,
         # --- TPU-native additions ---
         "tpu_image_buckets": [[608, 1008], [1008, 608]],
         "tpu_max_gt_boxes": 100,

@@ -59,6 +59,9 @@ def get_default_pascal_fpn_config():
         "roi_neg_iou_threshold": 0.0,
         "roi_total_sample_number": 256,
         "roi_pos_sample_max_number": 64,
+        # see faster_rcnn_config.py: reference-quirk parity mode (the
+        # proposal_target class-column indexing + unclamped decode)
+        "strict_reference_parity": False,
         # --- TPU-native additions ---
         # multiples of 64 so every pyramid level (stride 4..64) tiles evenly
         "tpu_image_buckets": [[640, 1024], [1024, 640]],

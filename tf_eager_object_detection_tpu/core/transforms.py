@@ -51,6 +51,7 @@ def decode_boxes(
     deltas: jnp.ndarray,
     means=(0.0, 0.0, 0.0, 0.0),
     stds=(1.0, 1.0, 1.0, 1.0),
+    clip_deltas: bool = True,
 ) -> jnp.ndarray:
     """(tx, ty, tw, th) deltas + anchors -> xyxy boxes.
 
@@ -60,13 +61,16 @@ def decode_boxes(
     Deviation: dw/dh are clamped to log(1000/16) before exp (the standard
     Detectron BBOX_XFORM_CLIP). The reference has no clamp but also never
     trains from random init; without it, early-training deltas overflow
-    exp() and poison the step with NaNs.
+    exp() and poison the step with NaNs. `clip_deltas=False` (driven by the
+    `strict_reference_parity` config key) reproduces the unclamped
+    reference arithmetic exactly.
     """
     means = jnp.asarray(means, jnp.float32)
     stds = jnp.asarray(stds, jnp.float32)
     delta = deltas.astype(jnp.float32) * stds + means
-    clip = 4.135166556742356  # log(1000 / 16)
-    delta = delta.at[..., 2:].set(jnp.clip(delta[..., 2:], -clip, clip))
+    if clip_deltas:
+        clip = 4.135166556742356  # log(1000 / 16)
+        delta = delta.at[..., 2:].set(jnp.clip(delta[..., 2:], -clip, clip))
 
     w = anchors[..., 2] - anchors[..., 0] + 1.0
     h = anchors[..., 3] - anchors[..., 1] + 1.0

@@ -26,7 +26,7 @@ __all__ = ["eval_post_process", "write_voc_detection_files", "get_prediction_fil
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_classes", "max_per_class"),
+    static_argnames=("num_classes", "max_per_class", "clip_deltas"),
 )
 def eval_post_process(
     scores,
@@ -42,6 +42,7 @@ def eval_post_process(
     min_size=10.0,
     target_means=(0.0, 0.0, 0.0, 0.0),
     target_stds=(0.1, 0.1, 0.2, 0.2),
+    clip_deltas: bool = True,
 ):
     """Batched-over-classes eval post-processing.
 
@@ -52,7 +53,9 @@ def eval_post_process(
 
     def per_class(cls_scores, cls_deltas):
         keep = roi_valid & (cls_scores > score_threshold)
-        boxes = decode_boxes(rois, cls_deltas, target_means, target_stds)
+        boxes = decode_boxes(
+            rois, cls_deltas, target_means, target_stds, clip_deltas=clip_deltas
+        )
         boxes = clip_boxes(boxes, raw_h, raw_w)
         keep = keep & min_edge_mask(boxes, min_size)
         idx, ok = non_max_suppression(
@@ -124,6 +127,7 @@ def get_prediction_files(
             min_size=min_size,
             target_means=tuple(cfg["roi_proposal_means"]),
             target_stds=tuple(cfg["roi_proposal_stds"]),
+            clip_deltas=not cfg.get("strict_reference_parity", False),
         )
         boxes_c = np.asarray(boxes_c)
         scores_c = np.asarray(scores_c)

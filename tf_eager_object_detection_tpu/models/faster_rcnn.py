@@ -195,6 +195,7 @@ class FasterRCNNDetector:
             num_pre_nms=min(pre, deltas.shape[0]),
             target_means=cfg["rpn_proposal_means"],
             target_stds=cfg["rpn_proposal_stds"],
+            clip_deltas=not cfg.get("strict_reference_parity", False),
         )
         return rois, roi_valid, avalid
 
@@ -257,6 +258,9 @@ class FasterRCNNDetector:
                 max_pos_samples=cfg["roi_pos_sample_max_number"],
                 target_means=tuple(cfg["roi_proposal_means"]),
                 target_stds=tuple(cfg["roi_proposal_stds"]),
+                strict_class_column=bool(
+                    cfg.get("strict_reference_parity", False)
+                ),
             )
             roi_feats = roi_crop_faster_rcnn(
                 feat_i, pt.rois, self.stride, cfg["roi_pooling_size"],
@@ -343,6 +347,7 @@ class FasterRCNNDetector:
             max_pos_samples=cfg["roi_pos_sample_max_number"],
             target_means=tuple(cfg["roi_proposal_means"]),
             target_stds=tuple(cfg["roi_proposal_stds"]),
+            strict_class_column=bool(cfg.get("strict_reference_parity", False)),
         )
 
     def test_one_image(
@@ -400,6 +405,7 @@ class FasterRCNNDetector:
             score_threshold=cfg["prediction_score_threshold"],
             min_edge=float(self.stride),
             num_classes=self.num_classes,
+            clip_deltas=not cfg.get("strict_reference_parity", False),
         )
 
     def im_detect_batch(self, params, images, image_hw, scales):

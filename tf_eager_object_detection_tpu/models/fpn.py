@@ -286,6 +286,7 @@ class FPNDetector:
             num_pre_nms=min(pre, deltas.shape[0]),
             target_means=cfg["rpn_proposal_means"],
             target_stds=cfg["rpn_proposal_stds"],
+            clip_deltas=not cfg.get("strict_reference_parity", False),
         )
 
     def _roi_levels(self, rois):
@@ -504,6 +505,9 @@ class FPNDetector:
                 max_pos_samples=cfg["roi_pos_sample_max_number"],
                 target_means=tuple(cfg["roi_proposal_means"]),
                 target_stds=tuple(cfg["roi_proposal_stds"]),
+                strict_class_column=bool(
+                    cfg.get("strict_reference_parity", False)
+                ),
             )
             counts = {
                 "num_proposals": jnp.sum(roi_valid.astype(jnp.float32)),
@@ -602,6 +606,7 @@ class FPNDetector:
             score_threshold=cfg["prediction_score_threshold"],
             min_edge=16.0,  # base_fpn_model.py:275 hardcodes stride 16
             num_classes=self.num_classes,
+            clip_deltas=not cfg.get("strict_reference_parity", False),
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -674,6 +679,7 @@ class FPNDetector:
             max_pos_samples=cfg["roi_pos_sample_max_number"],
             target_means=tuple(cfg["roi_proposal_means"]),
             target_stds=tuple(cfg["roi_proposal_stds"]),
+            strict_class_column=bool(cfg.get("strict_reference_parity", False)),
         )
 
     def test_one_image(

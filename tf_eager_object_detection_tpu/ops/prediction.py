@@ -90,7 +90,12 @@ def predict_after_roi(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_classes", "max_num_per_class", "max_num_per_image"),
+    static_argnames=(
+        "num_classes",
+        "max_num_per_class",
+        "max_num_per_image",
+        "clip_deltas",
+    ),
 )
 def post_ops_prediction(
     roi_scores_softmax: jnp.ndarray,
@@ -107,13 +112,16 @@ def post_ops_prediction(
     score_threshold=0.0,
     min_edge=16.0,
     num_classes: int = 21,
+    clip_deltas: bool = True,
 ) -> Detections:
     """roi_scores_softmax: [N, C]; roi_deltas: [N, C, 4]; rois: [N, 4]."""
 
     def per_class(cls_scores, cls_deltas):
         # cls_scores: [N], cls_deltas: [N, 4]
         keep = roi_valid & (cls_scores > score_threshold)
-        boxes = decode_boxes(rois, cls_deltas, target_means, target_stds)
+        boxes = decode_boxes(
+            rois, cls_deltas, target_means, target_stds, clip_deltas=clip_deltas
+        )
         boxes = clip_boxes(boxes, image_height, image_width)
         keep = keep & min_edge_mask(boxes, min_edge)
         idx, ok = non_max_suppression(

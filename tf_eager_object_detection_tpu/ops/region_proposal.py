@@ -32,13 +32,16 @@ def region_proposal(
     num_pre_nms: int | None = None,
     target_means=(0.0, 0.0, 0.0, 0.0),
     target_stds=(1.0, 1.0, 1.0, 1.0),
+    clip_deltas: bool = True,
 ):
     """Returns (rois [num_post_nms, 4], roi_valid [num_post_nms] bool).
 
     rpn_deltas: [A, 4]; anchors: [A, 4]; scores: [A] objectness probs;
     anchor_valid: [A] bool mask of anchors inside the valid feature grid.
     """
-    decoded = decode_boxes(anchors, rpn_deltas, target_means, target_stds)
+    decoded = decode_boxes(
+        anchors, rpn_deltas, target_means, target_stds, clip_deltas=clip_deltas
+    )
     decoded = clip_boxes(decoded, image_height, image_width)
     decoded = jax.lax.stop_gradient(decoded)
     scores = jax.lax.stop_gradient(scores)

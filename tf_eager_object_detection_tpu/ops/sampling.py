@@ -12,8 +12,12 @@ over padded tensors with explicit PRNG keys:
 Known deliberate deviation: the reference writes class-specific roi box
 targets/weights at column `labels[idx]` (the label of the idx-th roi overall,
 proposal_target.py:97-99,114-117) instead of the selected fg roi's label —
-an indexing bug. We use the selected roi's own label (standard Faster R-CNN
-semantics).
+an indexing bug. By default we use the selected roi's own label (standard
+Faster R-CNN semantics); `strict_class_column=True` (driven by the
+`strict_reference_parity` config key) reproduces the reference's indexing
+bit-for-bit — including ascending-index fg/bg slot ordering, which is what
+the reference's `tf.where` produces in its deterministic (non-shuffled)
+branches — for bit-faithful fine-tuning from imported reference checkpoints.
 
 Random subsampling uses the Gumbel-style trick: candidates get i.i.d. uniform
 priorities and `lax.top_k` picks the winners, which matches the distribution
@@ -140,7 +144,12 @@ def anchor_target(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_classes", "total_num_samples", "max_pos_samples"),
+    static_argnames=(
+        "num_classes",
+        "total_num_samples",
+        "max_pos_samples",
+        "strict_class_column",
+    ),
 )
 def proposal_target(
     rois: jnp.ndarray,
@@ -156,6 +165,7 @@ def proposal_target(
     max_pos_samples: int = 32,
     target_means=(0.0, 0.0, 0.0, 0.0),
     target_stds=(0.1, 0.1, 0.2, 0.2),
+    strict_class_column: bool = False,
 ) -> ProposalTargets:
     """RoI-head training batch of exactly `total_num_samples` rois.
 
@@ -187,12 +197,27 @@ def proposal_target(
     _, fg_idx = jax.lax.top_k(fg_scores, k_fg)
     fg_valid = fg_scores[fg_idx] > -jnp.inf  # [max_pos]
     num_fg = jnp.sum(fg_valid.astype(jnp.int32))
+    if strict_class_column:
+        # the reference's fg_inds come from tf.where in ascending roi order
+        # (shuffled only when count > max_pos, where order is random anyway):
+        # sort the selected set ascending, invalid slots pushed to the end
+        fg_idx = jnp.sort(jnp.where(fg_valid, fg_idx, r))
+        fg_valid = fg_idx < r
+        fg_idx = jnp.minimum(fg_idx, r - 1)
 
     # bg without replacement when plentiful (proposal_target.py:69-71) ...
     num_bg_needed = s - num_fg
     pri_bg = jax.random.uniform(key_bg, (r,))
     bg_scores = jnp.where(bg_cand, pri_bg, -jnp.inf)
-    _, bg_idx_wor = jax.lax.top_k(bg_scores, min(s, r))
+    bg_vals_wor, bg_idx_wor = jax.lax.top_k(bg_scores, min(s, r))
+    if strict_class_column:
+        # ascending-index order for the selected bg set (reference tf.where
+        # order in its deterministic `bg == quota` branch)
+        nb = jnp.clip(num_bg_needed, 1, bg_vals_wor.shape[0])
+        kth = jnp.take(bg_vals_wor, nb - 1)
+        selected_bg = bg_cand & (bg_scores >= kth)
+        asc = jnp.where(selected_bg, -jnp.arange(r, dtype=jnp.float32), -jnp.inf)
+        _, bg_idx_wor = jax.lax.top_k(asc, min(s, r))
     if bg_idx_wor.shape[0] < s:  # fewer rois than slots: tile indices
         reps = -(-s // bg_idx_wor.shape[0])
         bg_idx_wor = jnp.tile(bg_idx_wor, reps)[:s]
@@ -228,7 +253,16 @@ def proposal_target(
     # see module docstring for the deviation from the reference's indexing).
     matched_gt = gt_boxes[gt_assignment[src]]
     enc = encode_boxes(out_rois, matched_gt, target_means, target_stds)  # [S,4]
-    onehot = jax.nn.one_hot(out_labels, num_classes, dtype=jnp.float32)  # [S,C]
+    if strict_class_column:
+        # reference bug (proposal_target.py:97-99,114-117): fg slot idx writes
+        # its target at column labels[idx] — the label of the idx-th roi in
+        # the ORIGINAL proposal order — not the selected fg roi's own label
+        col_labels = jnp.where(
+            is_fg_slot, roi_labels[jnp.minimum(slot, r - 1)], 0
+        ).astype(jnp.int32)
+    else:
+        col_labels = out_labels
+    onehot = jax.nn.one_hot(col_labels, num_classes, dtype=jnp.float32)  # [S,C]
     fg_f = is_fg_slot.astype(jnp.float32)[:, None, None]
     bbox_targets = onehot[:, :, None] * enc[:, None, :] * fg_f
     in_weights = onehot[:, :, None] * jnp.ones((1, 1, 4)) * fg_f
