@@ -23,6 +23,18 @@ import time
 
 ASSUMED_BASELINE_IMG_PER_SEC = 5.0
 
+# Measured on this host by scripts/measure_reference_baseline.py: the
+# reference's OWN train step (its scripts/train.py:22-50 semantics,
+# executing the reference's code) CPU-eager at 600x800. A lower bound on
+# the reference's (unpublished) GPU speed; recorded in BENCHLOG round 4.
+# None until measured; main() includes it in the output when set.
+MEASURED_REFERENCE_CPU_IMG_PER_SEC = None
+
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 (f32 matmuls lower via bf16
+# passes — the bf16 peak is used for BOTH dtypes, making f32 MFU
+# conservative)
+V5E_PEAK_FLOPS_BF16 = 197e12
+
 
 def _parse_config_override(raw):
     """Parse BENCH_CONFIG_OVERRIDE ("key=json;key=json") -> dict."""
@@ -41,7 +53,8 @@ def _parse_config_override(raw):
 
 
 def measure(model_type, backbone, batch=None, dtype=None, bucket=None,
-            profile_dir=None, n_steps=40, n_windows=3, config_override=None):
+            profile_dir=None, n_steps=40, n_windows=3, config_override=None,
+            collect_flops=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -132,6 +145,19 @@ def measure(model_type, backbone, batch=None, dtype=None, bucket=None,
         best = max(best, n_steps * b / dt)
     if profile_dir:
         jax.profiler.stop_trace()
+    if collect_flops:
+        # XLA's own cost model for the compiled train step (analytic
+        # FLOPs at the bucket shape) — the basis of the MFU figure
+        try:
+            cost = step.lower(
+                state, batch_t, jax.random.PRNGKey(0)
+            ).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", -1.0))
+        except Exception:
+            flops = -1.0
+        return best, flops
     return best
 
 
@@ -211,23 +237,45 @@ def main():
     config_override = _parse_config_override(
         os.environ.get("BENCH_CONFIG_OVERRIDE", "")
     )
-    img_per_sec = measure(
+    batch_env = (
+        int(os.environ["BENCH_BATCH"]) if os.environ.get("BENCH_BATCH") else None
+    )
+    img_per_sec, flops_per_step = measure(
         model_type,
         backbone,
-        batch=int(os.environ["BENCH_BATCH"]) if os.environ.get("BENCH_BATCH") else None,
+        batch=batch_env,
         dtype=os.environ.get("BENCH_DTYPE"),
         bucket=os.environ.get("BENCH_BUCKET"),
         profile_dir=os.environ.get("BENCH_PROFILE_DIR"),
         config_override=config_override,
+        collect_flops=True,
     )
+    headline_batch = batch_env or 1
     extras = {}
+    if flops_per_step > 0:
+        extras["flops_per_step"] = flops_per_step
+        extras["mfu_vs_bf16_peak"] = round(
+            flops_per_step * (img_per_sec / headline_batch)
+            / V5E_PEAK_FLOPS_BF16,
+            4,
+        )
     if os.environ.get("BENCH_EXTRA", "1") != "0" and not any(
         os.environ.get(k)
         for k in ("BENCH_BATCH", "BENCH_DTYPE", "BENCH_BUCKET",
                   "BENCH_PROFILE_DIR", "BENCH_CONFIG_OVERRIDE")
     ):
-        extras["b8_bfloat16_img_per_sec"] = round(
-            measure(model_type, backbone, batch=8, dtype="bfloat16"), 3
+        bf16_ips, bf16_flops = measure(
+            model_type, backbone, batch=8, dtype="bfloat16",
+            collect_flops=True,
+        )
+        extras["b8_bfloat16_img_per_sec"] = round(bf16_ips, 3)
+        if bf16_flops > 0:
+            extras["b8_bfloat16_mfu_vs_bf16_peak"] = round(
+                bf16_flops * (bf16_ips / 8) / V5E_PEAK_FLOPS_BF16, 4
+            )
+    if MEASURED_REFERENCE_CPU_IMG_PER_SEC:
+        extras["vs_measured_reference_cpu"] = round(
+            img_per_sec / MEASURED_REFERENCE_CPU_IMG_PER_SEC, 2
         )
     print(
         json.dumps(
@@ -239,7 +287,11 @@ def main():
                 "baseline_note": (
                     "reference publishes no throughput; vs_baseline assumes "
                     f"{ASSUMED_BASELINE_IMG_PER_SEC} img/s (tf-faster-rcnn-era "
-                    "single-GPU training speed)"
+                    "single-GPU training speed). extras carries the measured "
+                    "comparison: the reference's own train step CPU-eager on "
+                    "this host (scripts/measure_reference_baseline.py, a "
+                    "lower bound on its GPU speed) and XLA-cost-model MFU "
+                    "vs the v5e 197 TFLOP/s bf16 peak"
                 ),
                 "extras": extras,
                 # mark A/B datapoints so they can't be confused with the

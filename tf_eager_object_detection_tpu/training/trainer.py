@@ -199,6 +199,12 @@ class Trainer:
     def train_one_epoch(self, batches: Iterator[dict], steps: Optional[int] = None):
         t_start = time.time()
         n = 0
+        # ONE device->host sync per epoch: reading state.step inside the
+        # loop would synchronize on every just-dispatched step (a full
+        # tunnel/PCIe round-trip per step — measured 3 steps/s vs the
+        # chip's 80+, BENCHLOG round 4). The device step advances by
+        # exactly 1 per train_step, so a host-side counter tracks it.
+        step0 = int(jax.device_get(self.state.step))
         for batch in batches:
             self.rng, step_rng = jax.random.split(self.rng)
             batch_tuple = (
@@ -239,7 +245,7 @@ class Trainer:
                 step_rng = replicate(step_rng, self.mesh)
             self.state, metrics = self.step_fn(self.state, batch_tuple, step_rng)
             n += 1
-            step = int(self.state.step)
+            step = step0 + n  # == int(self.state.step) without the sync
             if step % self.logging_every == 0 and self.is_primary:
                 vals = {k: float(v) for k, v in metrics.items()}
                 lr = float(self.lr_schedule(step))
