@@ -27,8 +27,8 @@ ASSUMED_BASELINE_IMG_PER_SEC = 5.0
 # reference's OWN train step (its scripts/train.py:22-50 semantics,
 # executing the reference's code) CPU-eager at 600x800. A lower bound on
 # the reference's (unpublished) GPU speed; recorded in BENCHLOG round 4.
-# None until measured; main() includes it in the output when set.
-MEASURED_REFERENCE_CPU_IMG_PER_SEC = None
+# Measured 2026-08-19 (round 4): 25.1 s/step at 600x800 -> 0.0398 img/s.
+MEASURED_REFERENCE_CPU_IMG_PER_SEC = 0.0398
 
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 (f32 matmuls lower via bf16
 # passes — the bf16 peak is used for BOTH dtypes, making f32 MFU

@@ -74,12 +74,25 @@ def main():
     gt_t = tf.constant(gt)
     labels_t = tf.constant(rs.randint(1, 21, 4).astype(np.int32))
 
-    opt = tf.compat.v1.train.MomentumOptimizer(1e-3, momentum=0.9)
+    # MomentumOptimizer math applied manually (the tf.compat.v1 optimizer
+    # rejects keras-3 Variables): accum = m*accum + grad; var -= lr*accum —
+    # identical update, negligible share of the step cost
+    lr, mom = 1e-3, 0.9
+    velocities = {}
+
+    def apply(pairs):
+        for g, v in pairs:
+            vel = velocities.get(id(v))
+            if vel is None:
+                vel = tf.Variable(tf.zeros_like(v), trainable=False)
+                velocities[id(v)] = vel
+            vel.assign(mom * vel + g)
+            v.assign_sub(lr * vel)
 
     def one_step():
         with tf.GradientTape() as tape:
             rpn_cls, rpn_reg, roi_cls, roi_reg = ref(
-                (img, gt_t, labels_t), True
+                (img, gt_t, labels_t), training=True
             )
             total = (
                 rpn_cls + rpn_reg + roi_cls + roi_reg + tf.add_n(ref.losses)
@@ -93,7 +106,7 @@ def main():
             for g, v in zip(grads, all_vars)
             if g is not None
         ]
-        opt.apply_gradients([(g, v) for g, v in pairs])
+        apply(pairs)
         return float(total)
 
     for _ in range(args.warmup):
