@@ -90,6 +90,12 @@ def get_default_pascal_faster_rcnn_config():
         # instead of the optax chain's several) — bit-identical math, see
         # training/optimizer.py
         "tpu_fused_optimizer": True,
+        # fused C++ decode+normalize+resize+pad host pipeline
+        # (native/image_decode.cc; ~1.6x img/s per host core). Off by
+        # default: the python path's cv2 decode is the bit-pinned
+        # reference twin; the native path matches it to ~1e-5
+        # (tests/test_native_image.py). Requires libimage_decode.so.
+        "tpu_native_decode": False,
     }
 
 

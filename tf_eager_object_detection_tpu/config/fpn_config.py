@@ -89,6 +89,8 @@ def get_default_pascal_fpn_config():
         # instead of the optax chain's several) — bit-identical math, see
         # training/optimizer.py
         "tpu_fused_optimizer": True,
+        # fused C++ host pipeline — see faster_rcnn_config.py
+        "tpu_native_decode": False,
     }
 
 

@@ -54,10 +54,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 
 
-def parse_pascal_example(record: bytes):
-    """Serialized Example -> (rgb image, boxes01 yxyx [N,4], labels [N])."""
+def _use_native(cfg: dict) -> bool:
+    """True when the fused C++ pipeline is requested AND loadable."""
+    if not cfg.get("tpu_native_decode"):
+        return False
+    from tf_eager_object_detection_tpu.data import native_image
+
+    return native_image.available()
+
+
+def parse_pascal_example_raw(record: bytes):
+    """Serialized Example -> (jpeg bytes, boxes01 yxyx [N,4], labels [N])."""
     feats = decode_example(record)
-    image = _decode_jpeg(feats["image/encoded"][1][0])
+    jpeg = feats["image/encoded"][1][0]
     ymin = np.asarray(feats.get("image/object/bbox/ymin", ("float", []))[1])
     xmin = np.asarray(feats.get("image/object/bbox/xmin", ("float", []))[1])
     ymax = np.asarray(feats.get("image/object/bbox/ymax", ("float", []))[1])
@@ -66,7 +75,13 @@ def parse_pascal_example(record: bytes):
     labels = np.asarray(
         feats.get("image/object/class/label", ("int64", []))[1], np.int32
     )
-    return image, boxes, labels
+    return jpeg, boxes, labels
+
+
+def parse_pascal_example(record: bytes):
+    """Serialized Example -> (rgb image, boxes01 yxyx [N,4], labels [N])."""
+    jpeg, boxes, labels = parse_pascal_example_raw(record)
+    return _decode_jpeg(jpeg), boxes, labels
 
 
 def pascal_train_batches(
@@ -90,12 +105,23 @@ def pascal_train_batches(
     py_rng = random.Random(seed)
     epoch = 0
 
+    use_native = _use_native(cfg)
+
     def load_one(args):
         record, img_seed = args
-        image, boxes, labels = parse_pascal_example(record)
+        jpeg, boxes, labels = parse_pascal_example_raw(record)
         rng = np.random.RandomState(img_seed)
+        if use_native:
+            from tf_eager_object_detection_tpu.data.native_image import (
+                preprocess_train_bytes,
+            )
+
+            return preprocess_train_bytes(
+                jpeg, boxes, labels, cfg, rng, augment=augment,
+                preprocessing_type=preprocessing_type,
+            )
         return preprocess_train_image(
-            image, boxes, labels, cfg, rng, augment=augment,
+            _decode_jpeg(jpeg), boxes, labels, cfg, rng, augment=augment,
             preprocessing_type=preprocessing_type,
         )
 
@@ -169,18 +195,14 @@ def pascal_train_batches_from_voc(
         ids = [line.strip().split()[0] for line in f if line.strip()]
     rng = pyrandom.Random(seed)
 
+    use_native = _use_native(cfg)
+
     def load(args):
         image_id, img_seed = args
         ann = parse_voc_xml(
             os.path.join(root_path, "Annotations", f"{image_id}.xml")
         )
         path = os.path.join(root_path, "JPEGImages", f"{image_id}.jpg")
-        if cv2 is not None:
-            image = cv2.imread(path)[..., ::-1]
-        else:
-            from PIL import Image
-
-            image = np.asarray(Image.open(path).convert("RGB"))
         h, w = ann["height"], ann["width"]
         boxes01 = np.asarray(
             [
@@ -197,6 +219,23 @@ def pascal_train_batches_from_voc(
         labels = np.asarray(
             [label_map[o["name"]] for o in ann["objects"]], np.int32
         )
+        if use_native:
+            from tf_eager_object_detection_tpu.data.native_image import (
+                preprocess_train_bytes,
+            )
+
+            with open(path, "rb") as f:
+                jpeg = f.read()
+            return preprocess_train_bytes(
+                jpeg, boxes01, labels, cfg, np.random.RandomState(img_seed),
+                augment=augment, preprocessing_type=preprocessing_type,
+            )
+        if cv2 is not None:
+            image = cv2.imread(path)[..., ::-1]
+        else:
+            from PIL import Image
+
+            image = np.asarray(Image.open(path).convert("RGB"))
         return preprocess_train_image(
             image, boxes01, labels, cfg, np.random.RandomState(img_seed),
             augment=augment, preprocessing_type=preprocessing_type,
@@ -248,10 +287,21 @@ def pascal_eval_iterator_from_tf_records(
         name = feats.get("image/filename", ("bytes", [b""]))[1][0].decode()
         image_ids.append(os.path.splitext(name)[0])
 
+    use_native = _use_native(cfg)
+
     def load(rec):
-        image, _, _ = parse_pascal_example(rec)
+        jpeg, _, _ = parse_pascal_example_raw(rec)
+        if use_native:
+            from tf_eager_object_detection_tpu.data.native_image import (
+                preprocess_eval_bytes,
+            )
+
+            return preprocess_eval_bytes(
+                jpeg, cfg, preprocessing_type, image_format=image_format
+            )
         return preprocess_eval_image(
-            image, cfg, preprocessing_type, image_format=image_format
+            _decode_jpeg(jpeg), cfg, preprocessing_type,
+            image_format=image_format,
         )
 
     def iterator():
@@ -284,8 +334,20 @@ def pascal_eval_iterator(
         image_ids = [line.strip().split()[0] for line in f if line.strip()]
     img_dir = os.path.join(root_path, "JPEGImages")
 
+    use_native = _use_native(cfg)
+
     def load(image_id):
         path = os.path.join(img_dir, image_id + ".jpg")
+        if use_native:
+            from tf_eager_object_detection_tpu.data.native_image import (
+                preprocess_eval_bytes,
+            )
+
+            with open(path, "rb") as f:
+                jpeg = f.read()
+            return preprocess_eval_bytes(
+                jpeg, cfg, preprocessing_type, image_format=image_format
+            )
         if cv2 is not None:
             img = cv2.imread(path)[..., ::-1]  # BGR file -> RGB
         else:
