@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=8,
                    help="bucket-grouped im_detect_batch size (1 = "
                         "reference-style per-image)")
+    p.add_argument("--spatial_partition", type=int, default=0,
+                   help="shard each image's rows over N devices during eval "
+                        "inference (parallel/spatial.py; exclusive with "
+                        "--data_parallel)")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard each eval batch over the first N devices "
                         "(GSPMD; batch_size must divide by N; 0 = single device)")
@@ -115,6 +119,7 @@ def main():
             max_objects_per_image=cfg["max_objects_per_image"],
             batch_size=args.batch_size,
             data_parallel=args.data_parallel,
+            spatial_partition=args.spatial_partition,
         )
 
     annopath = os.path.join(args.root_path, "Annotations", "{:s}.xml")

@@ -250,9 +250,12 @@ def cmd_train(args):
         "--logging_every_n_steps", "200",
         "--summary_every_n_steps", str(args.steps // 2),
         "--saving_every_n_steps", str(args.steps),
-        "--learning_rate", str(args.lr),
         "--batch_size", str(args.batch_size),
     ]
+    if args.lr > 0:  # 0 = keep the config's (possibly overridden) schedule
+        cmd += ["--learning_rate", str(args.lr)]
+    for ov in args.config_override:
+        cmd += ["--config_override", ov]
     if args.compute_dtype:
         cmd += ["--compute_dtype", args.compute_dtype]
     _run(cmd)
@@ -292,9 +295,178 @@ def cmd_eval(args):
     return summary
 
 
+def _voc_to_coco_json(voc_root: str, split: str, out_path: str) -> int:
+    """Convert the rehearsal's VOC XML annotations to a COCO annotation
+    file: categories 1..20 in PASCAL_CLASSES order, bbox [x, y, w, h]
+    with the same +1 w/h pixel convention the detection writer uses
+    (evaluation/coco_eval.py::coco_results_for_image), difficult ->
+    iscrowd=1 so COCOeval's crowd-ignore path is exercised at scale."""
+    from tf_eager_object_detection_tpu.data.voc import parse_voc_xml
+
+    ids = open(
+        os.path.join(voc_root, "ImageSets", "Main", split + ".txt")
+    ).read().split()
+    images, annotations = [], []
+    for image_id in ids:
+        ann = parse_voc_xml(
+            os.path.join(voc_root, "Annotations", f"{image_id}.xml")
+        )
+        images.append({
+            "id": int(image_id),
+            "file_name": f"{image_id}.jpg",
+            "height": ann["height"],
+            "width": ann["width"],
+        })
+        for o in ann["objects"]:
+            xmin, ymin, xmax, ymax = o["bbox"]  # 1-based VOC corners
+            x, y = xmin - 1.0, ymin - 1.0  # 0-based origin
+            w, h = xmax - xmin + 1.0, ymax - ymin + 1.0
+            annotations.append({
+                "id": len(annotations) + 1,
+                "image_id": int(image_id),
+                "category_id": PASCAL_CLASSES.index(o["name"]) + 1,
+                "bbox": [float(x), float(y), float(w), float(h)],
+                "area": float(w * h),
+                "iscrowd": int(o.get("difficult", 0)),
+            })
+    with open(out_path, "w") as f:
+        json.dump({
+            "images": images,
+            "annotations": annotations,
+            "categories": [
+                {"id": i + 1, "name": c}
+                for i, c in enumerate(PASCAL_CLASSES)
+            ],
+        }, f)
+    return len(annotations)
+
+
+def cmd_coco(args):
+    """Score the rehearsal checkpoint through the REAL COCO eval CLI
+    (scripts/eval_coco.py -> self-written COCOeval core): the
+    at-scale complement to the 20 adversarial hand fixtures (VERDICT r3
+    task 3) — 150 images / ~750 boxes / 20 categories / iscrowd gts
+    through every stage of evaluation/coco_eval.py."""
+    voc_root, _, logs = _dirs(args)
+    ann_file = os.path.join(args.root, "coco_test_annotations.json")
+    n_ann = _voc_to_coco_json(voc_root, "test", ann_file)
+    results_json = os.path.join(
+        args.root, f"coco_results_{args.model_type}_{args.backbone}.json"
+    )
+    # the checkpoint is a pascal model: carry its class count, anchor
+    # scales, pixel means, and per-image caps into the coco config
+    overrides = [
+        "num_classes=21",
+        "scales=[8, 16, 32]",
+        "bgr_pixel_means=[103.939, 116.779, 123.68]",
+        "max_objects_per_class_per_image=50",
+        "max_objects_per_image=50",
+    ]
+    cmd = [sys.executable, "scripts/eval_coco.py", logs,
+           "--annotation_file", ann_file,
+           "--image_dir", os.path.join(voc_root, "JPEGImages"),
+           "--model_type", args.model_type, "--backbone", args.backbone,
+           "--results_json", results_json,
+           "--batch_size", str(args.eval_batch_size)]
+    for ov in overrides:
+        cmd += ["--config_override", ov]
+    out = _run(cmd, capture_output=True, text=True)
+    sys.stderr.write(out.stderr[-1000:])
+    print(out.stdout[-2500:])
+    metrics = {}
+    for line in out.stdout.splitlines():
+        # "Average Precision  (AP) @[ IoU=0.50:0.95 | area=   all | ..."
+        if "] = " in line and ("Average Precision" in line
+                               or "Average Recall" in line):
+            key, val = line.rsplit("] = ", 1)
+            metrics[key.strip() + "]"] = float(val)
+    summary = {
+        "proof": "coco_rehearsal",
+        "model_type": args.model_type,
+        "backbone": args.backbone,
+        "n_gt_annotations": n_ann,
+        "metrics": metrics,
+    }
+    print("COCO_REHEARSAL " + json.dumps(summary))
+    return summary
+
+
+def cmd_consistency(args):
+    """mAP-level multi-device consistency (VERDICT r3 task 4): run the
+    rehearsal eval three ways — single device, --data_parallel 8, and
+    --spatial_partition 4 — on 8 virtual CPU devices and assert the VOC
+    detection files are byte-identical and the mAP equal."""
+    voc_root, _, logs = _dirs(args)
+    ids = open(
+        os.path.join(voc_root, "ImageSets", "Main", "test.txt")
+    ).read().split()[: args.n_consistency]
+    with open(
+        os.path.join(voc_root, "ImageSets", "Main", "consistency.txt"), "w"
+    ) as f:
+        f.write("\n".join(ids) + "\n")
+
+    env = dict(
+        os.environ,
+        PYTHONPATH="",
+        JAX_PLATFORMS="cpu",
+        # 8 virtual devices time-slice this host's core(s); XLA:CPU's
+        # default 40s collective-rendezvous termination aborts the whole
+        # process when a participant thread is merely starved (reproduced:
+        # sp4 resnet50 eval SIGABRTs in InProcessCommunicator::AllReduce) —
+        # raise it far past worst-case contention
+        XLA_FLAGS=(
+            "--xla_force_host_platform_device_count=8 "
+            "--xla_cpu_collective_call_terminate_timeout_seconds=1200 "
+            "--xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        ),
+    )
+    variants = {
+        "single": [],
+        "dp8": ["--data_parallel", "8"],
+        "sp4": ["--spatial_partition", "4"],
+    }
+    maps, result_dirs = {}, {}
+    for name, flags in variants.items():
+        rdir = os.path.join(args.root, f"consistency_{args.model_type}_{name}")
+        if os.path.exists(rdir):
+            shutil.rmtree(rdir)
+        result_dirs[name] = rdir
+        out = _run(
+            [sys.executable, "scripts/eval_pascal.py", logs,
+             "--root_path", voc_root, "--model_type", args.model_type,
+             "--backbone", args.backbone, "--mode", "consistency",
+             "--result_dir", rdir, "--batch_size", "8"] + flags,
+            capture_output=True, text=True, env=env,
+        )
+        for line in out.stdout.splitlines():
+            if line.strip().startswith("mAP"):
+                maps[name] = float(line.split()[-1])
+    # byte-identical detection files across the three shardings
+    identical = True
+    for cls in PASCAL_CLASSES:
+        blobs = set()
+        for name, rdir in result_dirs.items():
+            path = os.path.join(rdir, f"{cls}.txt")
+            blobs.add(open(path, "rb").read() if os.path.exists(path) else b"")
+        if len(blobs) != 1:
+            identical = False
+            print(f"MISMATCH in {cls}.txt across variants")
+    summary = {
+        "proof": "rehearsal_consistency",
+        "model_type": args.model_type,
+        "n_images": len(ids),
+        "mAP": maps,
+        "files_identical": identical,
+        "maps_equal": len(set(maps.values())) == 1,
+    }
+    print("CONSISTENCY " + json.dumps(summary))
+    sys.exit(0 if identical and summary["maps_equal"] else 1)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("cmd", choices=["gen", "train", "eval", "run"])
+    p.add_argument("cmd", choices=["gen", "train", "eval", "run",
+                                   "consistency", "coco"])
     p.add_argument("--root", default="/tmp/voc_rehearsal")
     p.add_argument("--n_train", type=int, default=600)
     p.add_argument("--n_test", type=int, default=150)
@@ -303,16 +475,24 @@ def main():
                    choices=["faster_rcnn", "fpn"])
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--steps", type=int, default=6000)
-    p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--lr", type=float, default=2.5e-4,
+                   help="0 = use the config schedule (see --config_override)")
+    p.add_argument("--config_override", action="append", default=[],
+                   help="passed through to scripts/train.py")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--compute_dtype", default=None,
                    choices=[None, "float32", "bfloat16"])
     p.add_argument("--eval_batch_size", type=int, default=8)
+    p.add_argument("--n_consistency", type=int, default=8)
     p.add_argument("--resume", action="store_true")
     args = p.parse_args()
 
     if args.cmd == "gen":
         cmd_gen(args)
+    elif args.cmd == "consistency":
+        cmd_consistency(args)
+    elif args.cmd == "coco":
+        cmd_coco(args)
     elif args.cmd == "train":
         cmd_train(args)
     elif args.cmd == "eval":

@@ -33,6 +33,16 @@ if _needs_reexec():
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_collective_call_terminate_timeout_seconds" not in env["XLA_FLAGS"]:
+        # 8 virtual devices on few cores: a starved participant thread must
+        # not trip XLA:CPU's 40s rendezvous termination (SIGABRT)
+        env["XLA_FLAGS"] += (
+            " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        )
+    # persistent XLA compile cache: the suite is compile-dominated on this
+    # 1-core host (cold ~39 min); warm reruns skip every >1s compile
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cpu_test_cache")
     # subprocess (not execve): pytest's output capture machinery loses the
     # terminal across an exec, swallowing the report entirely.
     ret = subprocess.run(
@@ -46,5 +56,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    )
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cpu_test_cache")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -24,6 +24,7 @@ def batched_im_detect(
     items: Iterable,
     batch_size: int = 8,
     data_parallel: int = 0,
+    spatial_partition: int = 0,
 ) -> Iterator[Tuple[int, tuple, tuple]]:
     """Yields (stream_index, item, (softmax, deltas, rois, roi_valid)).
 
@@ -41,8 +42,16 @@ def batched_im_detect(
     SPMD program per bucket, with per-image detection numerics unchanged
     (the reference has no multi-GPU eval at all; this is the TPU-mesh
     scale-out of its per-image loop, eval_coco.py:117-155).
+
+    spatial_partition > 0 instead shards each image's ROWS over a
+    ("batch"=1, "space"=N) mesh (parallel/spatial.py) — the
+    more-devices-than-images eval regime; GSPMD inserts conv halo
+    exchanges, raw-head numerics unchanged.
     """
+    if data_parallel and spatial_partition:
+        raise ValueError("data_parallel and spatial_partition are exclusive")
     mesh = None
+    shard = None
     if data_parallel:
         from tf_eager_object_detection_tpu.parallel.mesh import (
             make_mesh,
@@ -56,6 +65,28 @@ def batched_im_detect(
             )
         mesh = make_mesh(data_parallel)
         params = replicate(params, mesh)
+        shard = lambda b: shard_batch(b, mesh)  # noqa: E731
+    elif spatial_partition:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tf_eager_object_detection_tpu.parallel.mesh import replicate
+        from tf_eager_object_detection_tpu.parallel.spatial import (
+            make_spatial_mesh,
+        )
+
+        mesh = make_spatial_mesh(dp=1, sp=spatial_partition)
+        params = replicate(params, mesh)
+
+        def shard(batch):
+            images, hws, scales = batch
+            img_s = NamedSharding(mesh, P("batch", "space"))
+            per_img = NamedSharding(mesh, P("batch"))
+            return (
+                jax.device_put(images, img_s),
+                jax.device_put(hws, per_img),
+                jax.device_put(scales, per_img),
+            )
 
     def flush(group):
         n_real = len(group)
@@ -67,8 +98,8 @@ def batched_im_detect(
         scales = jnp.asarray(
             np.asarray([it[2] for it in padded], np.float32)
         )
-        if mesh is not None:
-            images, hws, scales = shard_batch((images, hws, scales), mesh)
+        if shard is not None:
+            images, hws, scales = shard((images, hws, scales))
         sm, deltas, rois, roi_valid = detector.im_detect_batch(
             params, images, hws, scales
         )

@@ -94,12 +94,14 @@ def get_prediction_files(
     min_size: float = 10.0,
     batch_size: int = 8,
     data_parallel: int = 0,
+    spatial_partition: int = 0,
 ):
     """Runs eval inference and writes per-class VOC result files.
 
     eval_iterator yields (image [Hp, Wp, 3], image_hw [2], scale, raw_h,
     raw_w) host-side tuples aligned with image_ids. data_parallel > 0
-    shards each batch over the first N devices (see batched_im_detect).
+    shards each batch over the first N devices; spatial_partition > 0
+    shards image rows instead (see batched_im_detect).
     """
     from tf_eager_object_detection_tpu.evaluation.batched_inference import (
         batched_im_detect,
@@ -110,7 +112,8 @@ def get_prediction_files(
     per_image: List[np.ndarray | None] = [None] * len(image_ids)
 
     for img_idx, item, (sm, deltas, rois, roi_valid) in batched_im_detect(
-        detector, params, eval_iterator, batch_size, data_parallel=data_parallel
+        detector, params, eval_iterator, batch_size,
+        data_parallel=data_parallel, spatial_partition=spatial_partition,
     ):
         raw_h, raw_w = item[3], item[4]
         boxes_c, scores_c, valid_c = eval_post_process(
