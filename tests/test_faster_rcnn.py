@@ -206,6 +206,40 @@ def test_fused_optimizer_equivalence():
     )
 
 
+def test_im_detect_batch_under_outer_jit_matches_host_path():
+    """Composition safety (VERDICT r3 task 2): tracing im_detect_batch
+    inside an OUTER jit must (a) not warn, (b) switch to the lax.map RoI
+    stage (the b8-bf16 crash-free single program, BENCHLOG round 4), and
+    (c) agree with the host-called two-jit path."""
+    import warnings
+
+    cfg = _small_config()
+    cfg["tpu_image_buckets"] = [[96, 96]]
+    det = model_factory("faster_rcnn", "vgg16", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    images, image_hw, *_ = _batch(rng, b=2, h=96, w=96)
+    scales = jnp.asarray([1.0, 1.25], jnp.float32)
+
+    host = det.im_detect_batch(params, images, image_hw, scales)
+
+    outer = jax.jit(
+        lambda p, im, hw, s: det.im_detect_batch(p, im, hw, s)
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        traced = outer(params, images, image_hw, scales)
+
+    # roi_valid exactly; floats to conv-batch-shape tolerance (the scan
+    # body runs per-image convs where the host RoI stage runs them
+    # batch-vmapped)
+    np.testing.assert_array_equal(np.asarray(traced[3]), np.asarray(host[3]))
+    for t, h in zip(traced[:3], host[:3]):
+        np.testing.assert_allclose(
+            np.asarray(t), np.asarray(h), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_im_detect_batch_matches_single():
     """im_detect_batch (two jitted stages — split to dodge an XLA:TPU fused
     kernel fault at b8 bf16, see BENCHLOG round 2) must equal per-image

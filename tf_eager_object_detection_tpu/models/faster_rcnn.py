@@ -413,38 +413,70 @@ class FasterRCNNDetector:
         scales [B] -> per-image stacked outputs. The backbone runs batched on
         the MXU; the per-image proposal/RoI path is vmapped.
 
-        Deliberately TWO jitted programs (backbone+RPN, then the RoI stage)
-        rather than one: fusing them crashes the TPU runtime at batch 8 with
-        bfloat16 compute (a deterministic XLA:TPU kernel fault — each half
-        runs fine alone, f32 fuses fine, bf16 training fuses fine; see
-        BENCHLOG.md round 2). The extra dispatch is noise at eval cadence.
+        Two implementations, picked by calling context:
 
-        NOTE: calling this under an OUTER jit/pmap/shard_map inlines and
-        re-fuses the two stages, silently reinstating the crash risk — hence
-        the warning below. For multi-chip eval, shard each stage separately
-        (or shard over images on the host).
+        - Host-called (the eval CLIs / batched_inference): TWO jitted
+          programs (backbone+RPN, then the vmapped RoI stage). Fusing them
+          as one program with the *vmapped* RoI stage deterministically
+          kills the XLA:TPU runtime at batch 8 + bfloat16 compute. Round-4
+          bisection (scripts/repro_b8_bf16_fused.py, BENCHLOG) localized
+          the fault to the NMS->RoIAlign->RoI-head chain compiled together
+          under vmap: proposals alone, crop alone, and the head alone all
+          run fine; an optimization_barrier between crop and head HANGS the
+          runtime instead. The split also lets GSPMD shard each stage's
+          batch axis for --data_parallel eval. The extra dispatch is noise
+          at eval cadence.
+
+        - Traced under an OUTER jit/shard_map (serving export, user
+          composition): the split would be inlined away, so instead the RoI
+          stage runs as a `lax.map` over images inside the one program —
+          measured crash-free AND at split-equal throughput at the fault
+          point (124.2 vs 124.8 img/s b8-bf16, BENCHLOG round 4). A scan
+          body serializes over images, so prefer the host path (or shard
+          over images) for multi-chip batch-parallel eval.
         """
         tracer_t = getattr(jax.core, "Tracer", None)
         is_tracer = (
             isinstance(images, tracer_t)
             if tracer_t is not None
-            # version-proof fallback: duck-type on the MRO so the warning
-            # (and with it the b8-bf16 crash diagnostic) survives a jax
-            # release that drops the jax.core.Tracer re-export
+            # version-proof fallback: duck-type on the MRO so the traced-
+            # context detection (and with it the b8-bf16 crash workaround)
+            # survives a jax release that drops the jax.core.Tracer
+            # re-export
             else any(c.__name__ == "Tracer" for c in type(images).__mro__)
         )
         if is_tracer:
-            import warnings
-
-            warnings.warn(
-                "im_detect_batch traced inside an outer jit: its two-program "
-                "split (XLA:TPU b8-bf16 crash workaround, BENCHLOG round 2) "
-                "is lost by inlining",
-                stacklevel=2,
+            return self._im_detect_batch_scan(
+                params, images, image_hw, scales
             )
         feats, score_map, bbox_map = self._backbone_rpn_jit(params, images)
         return self._im_detect_roi_stage(
             params, feats, score_map, bbox_map, image_hw, scales
+        )
+
+    def _im_detect_batch_scan(self, params, images, image_hw, scales):
+        """Single-program im_detect_batch with the RoI stage as a lax.map
+        (scan) over images: bounded per-iteration intermediates and a
+        fusion structure that sidesteps the b8-bf16 vmap fault. Safe to
+        inline under any outer jit/shard_map; numerics match the host path
+        up to XLA's batch-shape conv reassociation."""
+
+        feats, score_map, bbox_map = self._backbone_rpn(params, images)
+
+        def one(args):
+            feat_i, score_i, bbox_i, hw_i, scale_i = args
+            rois, roi_valid, roi_softmax, roi_deltas = self._roi_forward(
+                params, feat_i, score_i, bbox_i, hw_i
+            )
+            return (
+                roi_softmax,
+                roi_deltas.reshape(-1, self.num_classes, 4),
+                rois / scale_i,
+                roi_valid,
+            )
+
+        return jax.lax.map(
+            one, (feats, score_map, bbox_map, image_hw, scales)
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))
