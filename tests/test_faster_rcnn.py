@@ -240,6 +240,73 @@ def test_im_detect_batch_under_outer_jit_matches_host_path():
         )
 
 
+def test_im_detect_batch_dispatch_fails_safe():
+    """VERDICT r4 item 9: the host/traced dispatch must POSITIVELY identify
+    a concrete array to take the two-jit host path; any unknown duck-typed
+    array object falls through to the lax.map path (crash-free by
+    construction) instead of relying on Tracer-name matching."""
+    from tf_eager_object_detection_tpu.models.faster_rcnn import (
+        _is_concrete_array,
+    )
+
+    # positive identifications
+    assert _is_concrete_array(np.zeros((2, 2), np.float32))
+    assert _is_concrete_array(jnp.zeros((2, 2), jnp.float32))
+    # tracers are never concrete
+    seen = []
+
+    def record(x):
+        seen.append(_is_concrete_array(x))
+        return x
+
+    jax.jit(record)(jnp.zeros(2))
+    assert seen == [False]
+
+    class DuckArray:
+        """Not a numpy array, not a jax.Array, no Tracer in the MRO —
+        convertible via __array__ only."""
+
+        def __init__(self, a):
+            self._a = np.asarray(a)
+
+        def __array__(self, dtype=None):
+            return self._a if dtype is None else self._a.astype(dtype)
+
+        @property
+        def shape(self):
+            return self._a.shape
+
+        @property
+        def dtype(self):
+            return self._a.dtype
+
+        @property
+        def ndim(self):
+            return self._a.ndim
+
+    assert not _is_concrete_array(DuckArray(np.zeros(2)))
+
+    # integration: a duck-typed image batch still gets a working (safe)
+    # path through im_detect_batch and agrees with the host path
+    cfg = _small_config()
+    cfg["tpu_image_buckets"] = [[96, 96]]
+    det = model_factory("faster_rcnn", "vgg16", cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    images, image_hw, *_ = _batch(rng, b=2, h=96, w=96)
+    scales = jnp.asarray([1.0, 1.25], jnp.float32)
+
+    host = det.im_detect_batch(params, images, image_hw, scales)
+    duck = det.im_detect_batch(
+        params, DuckArray(np.asarray(images)), image_hw, scales
+    )
+    np.testing.assert_array_equal(np.asarray(duck[3]), np.asarray(host[3]))
+    for d, h in zip(duck[:3], host[:3]):
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(h), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_im_detect_batch_matches_single():
     """im_detect_batch (two jitted stages — split to dodge an XLA:TPU fused
     kernel fault at b8 bf16, see BENCHLOG round 2) must equal per-image

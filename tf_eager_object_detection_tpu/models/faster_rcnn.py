@@ -57,6 +57,30 @@ __all__ = ["FasterRCNNDetector"]
 _RESNET_DEPTHS = {"resnet50": 50, "resnet101": 101, "resnet152": 152}
 
 
+def _is_concrete_array(x) -> bool:
+    """True iff `x` is POSITIVELY identified as a concrete (non-traced)
+    array. Used by `im_detect_batch` to pick the two-jit host path; any
+    uncertain answer must return False so unknown types fall through to
+    the single-program lax.map path, which cannot reinstate the b8-bf16
+    TPU-runtime crash (see `im_detect_batch` docstring / BENCHLOG r4)."""
+    if isinstance(x, (np.ndarray, np.generic)):
+        return True
+    if not isinstance(x, jax.Array):
+        return False  # unknown/duck-typed object: not positively concrete
+    # x is a jax.Array — but tracers are jax.Array instances too, so
+    # discriminate explicitly. jax.core.is_concrete treats arbitrary
+    # non-tracer OBJECTS as concrete, which is why it is only consulted
+    # after the jax.Array gate above.
+    is_concrete = getattr(jax.core, "is_concrete", None)
+    if is_concrete is not None:
+        try:
+            return bool(is_concrete(x))
+        except Exception:
+            return False
+    tracer_t = getattr(jax.core, "Tracer", None)
+    return tracer_t is not None and not isinstance(x, tracer_t)
+
+
 class FasterRCNNDetector:
     """Bundles flax modules + config + anchors; all compute paths are pure."""
 
@@ -435,17 +459,11 @@ class FasterRCNNDetector:
           body serializes over images, so prefer the host path (or shard
           over images) for multi-chip batch-parallel eval.
         """
-        tracer_t = getattr(jax.core, "Tracer", None)
-        is_tracer = (
-            isinstance(images, tracer_t)
-            if tracer_t is not None
-            # version-proof fallback: duck-type on the MRO so the traced-
-            # context detection (and with it the b8-bf16 crash workaround)
-            # survives a jax release that drops the jax.core.Tracer
-            # re-export
-            else any(c.__name__ == "Tracer" for c in type(images).__mro__)
-        )
-        if is_tracer:
+        # Fail-safe dispatch: only a POSITIVELY-identified concrete array
+        # takes the two-jit host path; anything else (tracers, or unknown
+        # array types under a future jax release) gets the lax.map body,
+        # which is crash-free by construction at the b8-bf16 fault point.
+        if not _is_concrete_array(images):
             return self._im_detect_batch_scan(
                 params, images, image_hw, scales
             )
