@@ -128,3 +128,48 @@ def test_fpn_debug_apis():
     assert pt.rois.shape == (cfg["roi_total_sample_number"], 4)
     assert np.isfinite(np.asarray(pt.rois)).all()
     assert set(np.unique(np.asarray(pt.labels))) <= {0, 3, 9}
+
+
+def test_per_level_prenms_prefilter_exact():
+    """The per-level pre-NMS top-k prefilter (tpu_fpn_per_level_prenms)
+    must produce EXACTLY the proposals of the unfiltered path — same
+    boxes, same validity, bit-equal — including under score ties across
+    and within levels (the global top-pre set is a subset of the union of
+    per-level top-pre sets; tie order is level-major = original concat
+    order)."""
+    cfg = _small_cfg()
+    det = model_factory("fpn", "resnet50", cfg)
+    grids = tuple(
+        (128 // s, 128 // s) for s in det.strides
+    )
+    anchors = det.anchors_for_grids(grids)
+    a_total = anchors.shape[0]
+    assert cfg["rpn_proposal_train_pre_nms_sample_number"] < a_total
+
+    rng = np.random.RandomState(0)
+    scores2 = rng.randn(a_total, 2).astype(np.float32)
+    # inject ~300 score ties spread across the whole anchor range (and so
+    # across levels): duplicate random rows onto other random rows
+    src = rng.randint(0, a_total, 300)
+    dst = rng.randint(0, a_total, 300)
+    scores2[dst] = scores2[src]
+    deltas = (rng.randn(a_total, 4) * 0.1).astype(np.float32)
+    avalid = np.ones(a_total, bool)
+    avalid[rng.randint(0, a_total, a_total // 7)] = False
+    hw = jnp.asarray([128, 128], jnp.int32)
+
+    args = (
+        jnp.asarray(scores2), jnp.asarray(deltas), anchors,
+        jnp.asarray(avalid), hw,
+    )
+    for training in (True, False):
+        det.cfg["tpu_fpn_per_level_prenms"] = True
+        rois_f, valid_f = det._proposals(*args, training=training, grids=grids)
+        det.cfg["tpu_fpn_per_level_prenms"] = False
+        rois_o, valid_o = det._proposals(*args, training=training, grids=grids)
+        np.testing.assert_array_equal(
+            np.asarray(valid_f), np.asarray(valid_o), err_msg=str(training)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rois_f), np.asarray(rois_o), err_msg=str(training)
+        )

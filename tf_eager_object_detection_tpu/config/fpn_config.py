@@ -89,6 +89,12 @@ def get_default_pascal_fpn_config():
         # instead of the optax chain's several) — bit-identical math, see
         # training/optimizer.py
         "tpu_fused_optimizer": True,
+        # index-exact per-level pre-NMS top-k prefilter: shrinks the global
+        # ordering op over the level concat (~163k anchors at the stock
+        # bucket) to the union of per-level top-k sets (~34k) before the
+        # pre-NMS selection; provably the same proposals incl. score-tie
+        # order (tests/test_fpn.py::test_per_level_prenms_prefilter_exact)
+        "tpu_fpn_per_level_prenms": True,
         # fused C++ host pipeline — see faster_rcnn_config.py
         "tpu_native_decode": False,
     }

@@ -261,7 +261,8 @@ class FPNDetector:
         )
         return scores, deltas
 
-    def _proposals(self, scores2, deltas, anchors, avalid, image_hw, training):
+    def _proposals(self, scores2, deltas, anchors, avalid, image_hw, training,
+                   grids=None):
         cfg = self.cfg
         probs = jax.nn.softmax(scores2, axis=-1)[:, 1]
         if training:
@@ -274,6 +275,33 @@ class FPNDetector:
                 cfg["rpn_proposal_test_pre_nms_sample_number"],
                 cfg["rpn_proposal_test_after_nms_sample_number"],
             )
+        if grids is not None and cfg.get("tpu_fpn_per_level_prenms", True):
+            # Index-exact pre-NMS reduction: the global top-`pre` of the
+            # level concatenation (reference semantics — it sorts the
+            # concat, base_fpn_model.py:202-276) is a subset of the union
+            # of per-level top-`pre` sets, so selecting per level first
+            # shrinks the expensive ordering op from A_total (~163k at the
+            # stock bucket) to ~sum(min(pre, A_level)) (~34k) with zero
+            # semantic delta. Tie order is preserved too: per-level top_k
+            # breaks score ties index-ascending and the reduced array is
+            # level-major, so equal-score candidates keep their original
+            # concat order for the inner top_k (pinned by oracle test).
+            sizes = [gh * gw * self.num_anchors for gh, gw in grids]
+            if pre < deltas.shape[0] and len(sizes) > 1:
+                masked = jnp.where(avalid, probs, -jnp.inf)
+                cand, off = [], 0
+                for n in sizes:
+                    kk = min(pre, n)
+                    _, li = jax.lax.top_k(
+                        jax.lax.slice_in_dim(masked, off, off + n), kk
+                    )
+                    cand.append(li.astype(jnp.int32) + off)
+                    off += n
+                cand = jnp.concatenate(cand)
+                deltas = deltas[cand]
+                anchors = jnp.asarray(anchors)[cand]
+                probs = probs[cand]
+                avalid = avalid[cand]
         return region_proposal(
             deltas,
             anchors,
@@ -470,7 +498,8 @@ class FPNDetector:
             scores2, deltas = self._flatten_levels(score_i, bbox_i)
             avalid = self._level_valid_mask(grids, hw_i)
             rois, roi_valid = self._proposals(
-                scores2, deltas, anchors, avalid, hw_i, training=True
+                scores2, deltas, anchors, avalid, hw_i, training=True,
+                grids=grids,
             )
             at = anchor_target(
                 anchors,
@@ -564,7 +593,8 @@ class FPNDetector:
         scores2, deltas = self._flatten_levels(score_list_i, bbox_list_i)
         avalid = self._level_valid_mask(grids, image_hw)
         return self._proposals(
-            scores2, deltas, anchors, avalid, image_hw, training=False
+            scores2, deltas, anchors, avalid, image_hw, training=False,
+            grids=grids,
         )
 
     def _roi_forward(self, params, p_list_i, score_list_i, bbox_list_i, image_hw):
