@@ -251,10 +251,14 @@ def cmd_eval(args):
     print(out.stdout[-2500:])
     metrics = {}
     for line in out.stdout.splitlines():
-        if "] = " in line and ("Average Precision" in line
-                               or "Average Recall" in line):
-            key, val = line.rsplit("] = ", 1)
-            metrics[key.strip() + "]"] = float(val)
+        # evaluation/coco_eval.py summarize() format: "AP @[.50:.95]  = 0.123"
+        s = line.strip()
+        if (s.startswith("AP ") or s.startswith("AR ")) and " = " in s:
+            key, val = s.rsplit(" = ", 1)
+            try:
+                metrics[" ".join(key.split())] = float(val)
+            except ValueError:
+                pass
     summary = {
         "proof": "coco80_rehearsal",
         "model_type": args.model_type,
