@@ -118,3 +118,51 @@ def test_coco_eval_iterator(coco_tree):
     assert img.shape == (64, 104, 3)
     assert raw_h == 96 and raw_w == 128
     assert img_id in (100, 101, 102, 103)
+
+
+def test_coco80_rehearsal_generator(tmp_path):
+    """The 80-class COCO twin generator (scripts/coco_rehearsal.py) must
+    emit valid COCO JSON with the REAL gapped category-id space, and its
+    crowd annotations must be excluded from training by CocoDataset while
+    remaining visible to the evaluator."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts"),
+    )
+    from coco_rehearsal import COCO_CAT_IDS, generate
+
+    from tf_eager_object_detection_tpu.data.coco import CocoDataset
+
+    assert len(COCO_CAT_IDS) == 80
+    assert COCO_CAT_IDS[0] == 1 and COCO_CAT_IDS[-1] == 90
+    missing = sorted(set(range(1, 91)) - set(COCO_CAT_IDS))
+    assert missing == [12, 26, 29, 30, 45, 66, 68, 69, 71, 83]
+
+    root = str(tmp_path)
+    generate(root, n_train=5, n_val=3, seed=1)
+    for split, n in (("train", 5), ("val", 3)):
+        with open(os.path.join(root, f"instances_{split}.json")) as f:
+            data = json.load(f)
+        assert len(data["images"]) == n
+        assert [c["id"] for c in data["categories"]] == COCO_CAT_IDS
+        for a in data["annotations"]:
+            assert a["category_id"] in COCO_CAT_IDS
+            x, y, w, h = a["bbox"]
+            assert w > 0 and h > 0 and x >= 0 and y >= 0
+
+    ds = CocoDataset(
+        os.path.join(root, "instances_train.json"),
+        os.path.join(root, "images"),
+    )
+    with open(os.path.join(root, "instances_train.json")) as f:
+        train = json.load(f)
+    n_crowd = sum(a["iscrowd"] for a in train["annotations"])
+    n_loaded = sum(
+        len(ds.item(i)[1]) for i in range(len(ds))
+    )
+    assert n_loaded == len(train["annotations"]) - n_crowd
+    # the contiguous remap must cover the gapped id space in sorted order
+    assert ds.cat_id_to_label == {c: i + 1 for i, c in enumerate(COCO_CAT_IDS)}
