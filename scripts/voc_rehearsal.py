@@ -241,24 +241,36 @@ def cmd_train(args):
     _, tfr, logs = _dirs(args)
     if os.path.exists(logs) and not args.resume:
         shutil.rmtree(logs)
-    cmd = [
-        sys.executable, "scripts/train.py",
-        "--model_type", args.model_type, "--backbone", args.backbone,
-        "--data_type", "pascal", "--tf_records_dir", tfr,
-        "--logs_dir", logs, "--epochs", "1",
-        "--steps_per_epoch", str(args.steps),
-        "--logging_every_n_steps", "200",
-        "--summary_every_n_steps", str(args.steps // 2),
-        "--saving_every_n_steps", str(args.steps),
-        "--batch_size", str(args.batch_size),
-    ]
-    if args.lr > 0:  # 0 = keep the config's (possibly overridden) schedule
-        cmd += ["--learning_rate", str(args.lr)]
-    for ov in args.config_override:
-        cmd += ["--config_override", ov]
-    if args.compute_dtype:
-        cmd += ["--compute_dtype", args.compute_dtype]
-    _run(cmd)
+    # Chunked sequential invocations: the dev tunnel's client leaks every
+    # H2D staging buffer (~6 MB per b1 600x800 step, measured with bare
+    # device_puts), so one 16000-step process exhausts host RAM. The
+    # trainer auto-resumes from logs_dir (orbax keeps the step) and LR
+    # boundaries are absolute, so N processes of steps/N are
+    # step-for-step identical to one. --chunks 1 = single process.
+    per = (args.steps + args.chunks - 1) // args.chunks
+    done = 0
+    while done < args.steps:
+        n = min(per, args.steps - done)
+        cmd = [
+            sys.executable, "scripts/train.py",
+            "--model_type", args.model_type, "--backbone", args.backbone,
+            "--data_type", "pascal", "--tf_records_dir", tfr,
+            "--logs_dir", logs, "--epochs", "1",
+            "--steps_per_epoch", str(n),
+            "--logging_every_n_steps", "200",
+            "--summary_every_n_steps", str(args.steps // 2),
+            "--saving_every_n_steps", str(args.steps),
+            "--batch_size", str(args.batch_size),
+            "--seed", str(args.seed + done),
+        ]
+        if args.lr > 0:  # 0 = keep the config's (possibly overridden) schedule
+            cmd += ["--learning_rate", str(args.lr)]
+        for ov in args.config_override:
+            cmd += ["--config_override", ov]
+        if args.compute_dtype:
+            cmd += ["--compute_dtype", args.compute_dtype]
+        _run(cmd)
+        done += n
 
 
 def cmd_eval(args):
@@ -487,6 +499,9 @@ def main():
                    choices=[None, "float32", "bfloat16"])
     p.add_argument("--eval_batch_size", type=int, default=8)
     p.add_argument("--n_consistency", type=int, default=8)
+    p.add_argument("--chunks", type=int, default=4,
+                   help="sequential train.py invocations (tunnel H2D-leak "
+                        "workaround; 1 = single process)")
     p.add_argument("--resume", action="store_true")
     args = p.parse_args()
 
