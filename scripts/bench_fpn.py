@@ -46,6 +46,8 @@ def main():
         os.environ.get("BENCH_FUSED_LEVELS", "1") != "0"
     )
     cfg["tpu_compute_dtype"] = os.environ.get("BENCH_DTYPE", cfg["tpu_compute_dtype"])
+    if "BENCH_PRENMS" in os.environ:  # per-level pre-NMS prefilter A/B
+        cfg["tpu_fpn_per_level_prenms"] = os.environ["BENCH_PRENMS"] != "0"
     b = int(os.environ.get("BENCH_BATCH", "1"))
     cfg["tpu_train_batch_size_per_device"] = b
     backbone = os.environ.get("BENCH_BACKBONE", "resnet50")

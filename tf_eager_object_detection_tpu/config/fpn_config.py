@@ -93,8 +93,13 @@ def get_default_pascal_fpn_config():
         # ordering op over the level concat (~163k anchors at the stock
         # bucket) to the union of per-level top-k sets (~34k) before the
         # pre-NMS selection; provably the same proposals incl. score-tie
-        # order (tests/test_fpn.py::test_per_level_prenms_prefilter_exact)
-        "tpu_fpn_per_level_prenms": True,
+        # order (tests/test_fpn.py::test_per_level_prenms_prefilter_exact).
+        # Default OFF: measured on-chip it LOSES 4.4% at b8-bf16 train
+        # (46.7 vs 48.8 img/s) and is throughput-neutral at eval — the
+        # 163k one-shot top-k was never the bottleneck (the step is HBM
+        # bandwidth-bound; BENCHLOG round 5 roofline). Kept as an opt-in
+        # for shapes where the global ordering does dominate.
+        "tpu_fpn_per_level_prenms": False,
         # fused C++ host pipeline — see faster_rcnn_config.py
         "tpu_native_decode": False,
     }

@@ -275,7 +275,7 @@ class FPNDetector:
                 cfg["rpn_proposal_test_pre_nms_sample_number"],
                 cfg["rpn_proposal_test_after_nms_sample_number"],
             )
-        if grids is not None and cfg.get("tpu_fpn_per_level_prenms", True):
+        if grids is not None and cfg.get("tpu_fpn_per_level_prenms", False):
             # Index-exact pre-NMS reduction: the global top-`pre` of the
             # level concatenation (reference semantics — it sorts the
             # concat, base_fpn_model.py:202-276) is a subset of the union
