@@ -303,7 +303,10 @@ def main():
     p.add_argument("--chunks", type=int, default=4,
                    help="sequential train.py invocations (tunnel H2D-leak "
                         "workaround; 1 = single process)")
-    p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="keep logs_dir and continue from its latest "
+                        "checkpoint; --steps then counts ADDITIONAL "
+                        "steps (each chunk restores the running step)")
     args = p.parse_args()
 
     if args.cmd == "gen":
